@@ -1,0 +1,348 @@
+"""Feature storage: patches, maps, sets, manager, views.
+
+Behavioral counterpart of the reference's feature containers
+(pixsfm/features/src/featurepatch.h, featuremap.cc, featureset.cc, featuremanager.cc,
+featureview.cc) redesigned for TPU consumption:
+
+- Host side: numpy-backed ``FeaturePatch``/``FeatureMap``/``FeatureSet``/``FeatureManager``
+  with the same hierarchy, coordinate transforms (featurepatch.h:252-262) and dense-map
+  sentinel (``kDensePatchId``, util/src/types.h:33).
+- Device side: :class:`PackedFeatures` — one stacked ``[B, ps, ps, C]`` array per view
+  plus ``corners``/``scales`` and an index map, ready for batched interpolation. This
+  replaces the reference's refcounted per-patch on-demand cache (featureset.cc:56-160)
+  with "gather the rows a program slice needs, ship one contiguous batch to HBM".
+- ``FeatureView`` resolves which (image, keypoint) pairs a solve touches (from a match
+  graph or a reconstruction — featureview.cc:7-114) and packs exactly those patches,
+  loading them from the H5 cache on demand when the set is cache-backed.
+
+dtype policy: storage is bf16 (config name "half" maps here; f16 also supported for
+exact cache interop), compute is f32 — SURVEY.md §7 "Half-precision semantics".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .. import logger
+
+__all__ = [
+    "kDensePatchId", "FeaturePatch", "FeatureMap", "FeatureSet",
+    "FeatureManager", "FeatureView", "PackedFeatures",
+]
+
+# Sentinel keypoint id under which a dense featuremap patch is stored
+# (reference: util/src/types.h:33).
+kDensePatchId = 1000000
+
+_DTYPE_MAP = {
+    "half": np.float16, "float16": np.float16, "bfloat16": "bfloat16",
+    "float": np.float32, "float32": np.float32,
+    "double": np.float64, "float64": np.float64,
+}
+
+
+def storage_dtype(name: str):
+    if name == "bfloat16":
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(_DTYPE_MAP.get(name, name))
+
+
+@dataclass
+class FeaturePatch:
+    """One [H, W, C] patch cut from a featuremap.
+
+    ``corner``: featuremap pixel of the patch origin; ``scale``: featuremap/image
+    ratio per axis; ``upsampling_factor``: costmap upsampling (reference:
+    featurepatch.h:63-79, :252-262).
+    """
+    data: np.ndarray                    # [H, W, C]
+    corner: np.ndarray                  # [2] (x, y) int
+    scale: np.ndarray                   # [2] (sx, sy)
+    upsampling_factor: float = 1.0
+
+    def __post_init__(self):
+        self.data = np.asarray(self.data)
+        self.corner = np.asarray(self.corner).reshape(2)
+        self.scale = np.asarray(self.scale, dtype=np.float64).reshape(2)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def height(self):
+        return self.data.shape[0]
+
+    @property
+    def width(self):
+        return self.data.shape[1]
+
+    @property
+    def channels(self):
+        return self.data.shape[2]
+
+    def to_pixel_coordinates(self, xy):
+        """Image coords -> patch pixel coords (featurepatch.h:252-256)."""
+        xy = np.asarray(xy, dtype=np.float64)
+        return (xy * self.scale - 0.5 - self.corner) * self.upsampling_factor
+
+    def to_image_coordinates(self, uv):
+        """Patch pixel coords -> image coords (featurepatch.h:258-262)."""
+        uv = np.asarray(uv, dtype=np.float64)
+        return (uv / self.upsampling_factor + self.corner + 0.5) / self.scale
+
+
+class FeatureMap:
+    """Per-image collection {keypoint_id -> FeaturePatch}; dense maps store one
+    patch under ``kDensePatchId`` (reference: featuremap.h:103-118)."""
+
+    def __init__(self, patches: Optional[Mapping[int, FeaturePatch]] = None,
+                 is_sparse: bool = True):
+        self.patches: Dict[int, FeaturePatch] = dict(patches or {})
+        self.is_sparse = is_sparse
+
+    @classmethod
+    def from_arrays(cls, patches: np.ndarray, keypoint_ids: Sequence[int],
+                    corners: np.ndarray, scale, is_sparse: bool = True,
+                    upsampling_factor: float = 1.0) -> "FeatureMap":
+        """Zero-copy-ish construction from stacked arrays (featuremap.cc:8-45)."""
+        fmap = cls(is_sparse=is_sparse)
+        corners = np.asarray(corners)
+        for i, kid in enumerate(keypoint_ids):
+            fmap.patches[int(kid)] = FeaturePatch(
+                patches[i], corners[i] if len(corners) > 1 else corners[0],
+                scale, upsampling_factor)
+        return fmap
+
+    @property
+    def is_dense(self) -> bool:
+        return kDensePatchId in self.patches
+
+    def keypoint_ids(self) -> List[int]:
+        return list(self.patches.keys())
+
+    def get_patch(self, p2D_idx: int) -> FeaturePatch:
+        if self.is_dense:
+            return self.patches[kDensePatchId]
+        return self.patches[p2D_idx]
+
+    def __contains__(self, p2D_idx: int) -> bool:
+        return self.is_dense or p2D_idx in self.patches
+
+    def __len__(self):
+        return len(self.patches)
+
+
+class FeatureSet:
+    """One CNN level: {image_name -> FeatureMap}; optionally backed by an H5 cache
+    from which maps are loaded on demand (reference: featureset.cc:56-160)."""
+
+    def __init__(self, channels: int, patch_size: int, dtype: str = "half",
+                 h5_path=None, h5_key: Optional[str] = None):
+        self.channels = channels
+        self.patch_size = patch_size
+        self.dtype = dtype
+        self.maps: Dict[str, FeatureMap] = {}
+        self.h5_path = h5_path
+        self.h5_key = h5_key
+
+    def emplace(self, image_name: str, fmap: FeatureMap) -> None:
+        self.maps[image_name] = fmap
+
+    def has_image(self, image_name: str) -> bool:
+        return image_name in self.maps or self._in_cache(image_name)
+
+    def _in_cache(self, image_name: str) -> bool:
+        if self.h5_path is None:
+            return False
+        from .h5cache import cache_has_image
+        return cache_has_image(self.h5_path, self.h5_key, image_name)
+
+    def get_map(self, image_name: str,
+                required_ids: Optional[Sequence[int]] = None) -> FeatureMap:
+        if image_name in self.maps:
+            return self.maps[image_name]
+        if self.h5_path is not None:
+            from .h5cache import load_featuremap
+            fmap = load_featuremap(self.h5_path, self.h5_key, image_name,
+                                   required_ids)
+            # On-demand cache semantics: don't retain (featureset Unload path);
+            # FeatureView holds the packed copy for the duration of a solve.
+            return fmap
+        raise KeyError(image_name)
+
+    def unload(self, image_name: Optional[str] = None):
+        if image_name is None:
+            self.maps.clear()
+        else:
+            self.maps.pop(image_name, None)
+
+    def flush(self):  # parity no-op: writes happen through h5cache writers
+        return None
+
+    def image_names(self) -> List[str]:
+        names = set(self.maps.keys())
+        if self.h5_path is not None:
+            from .h5cache import cache_image_names
+            names.update(cache_image_names(self.h5_path, self.h5_key))
+        return sorted(names)
+
+
+class FeatureManager:
+    """All levels of a feature pyramid (reference: featuremanager.{h,cc})."""
+
+    def __init__(self, channels_per_level: Sequence[int], patch_size: int,
+                 dtype: str = "half", h5_path=None):
+        self.channels_per_level = list(channels_per_level)
+        self.patch_size = patch_size
+        self.dtype = dtype
+        self.levels: List[FeatureSet] = [
+            FeatureSet(c, patch_size, dtype, h5_path=h5_path,
+                       h5_key=f"level_{i}")
+            for i, c in enumerate(self.channels_per_level)]
+
+    @classmethod
+    def from_cache(cls, h5_path) -> "FeatureManager":
+        from .h5cache import read_cache_metadata
+        channels_per_level, patch_size, dtype = read_cache_metadata(h5_path)
+        return cls(channels_per_level, patch_size, dtype, h5_path=h5_path)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def fset(self, level: int) -> FeatureSet:
+        return self.levels[level]
+
+
+# ---------------------------------------------------------------------------
+# device-side packed view
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PackedFeatures:
+    """Stacked patches for a solve: the TPU-native FeatureView payload.
+
+    ``index``: {(image_name, p2D_idx) -> row}. ``patches`` is kept in the storage
+    dtype; convert to f32 inside kernels.
+    """
+    patches: np.ndarray          # [B, ps, ps, C]
+    corners: np.ndarray          # [B, 2] float64 (x, y)
+    scales: np.ndarray           # [B, 2] float64 (sx, sy)
+    upsampling: np.ndarray       # [B] float32
+    index: Dict[Tuple[str, int], int]
+    # for dense maps the same row serves all keypoints of the image
+    dense_images: Dict[str, int] = field(default_factory=dict)
+
+    @property
+    def num_patches(self) -> int:
+        return self.patches.shape[0]
+
+    @property
+    def channels(self) -> int:
+        return self.patches.shape[-1]
+
+    def row(self, image_name: str, p2D_idx: int) -> int:
+        if image_name in self.dense_images:
+            return self.dense_images[image_name]
+        return self.index[(image_name, p2D_idx)]
+
+    def rows(self, pairs: Iterable[Tuple[str, int]]) -> np.ndarray:
+        return np.asarray([self.row(n, i) for n, i in pairs], dtype=np.int32)
+
+
+class FeatureView:
+    """Packs exactly the patches a solve touches (reference: featureview.cc:7-114).
+
+    Construction options mirror the reference factories: from an explicit
+    ``{image: [p2D_idx]}`` request, from a graph node subset, or from a
+    reconstruction's observations.
+    """
+
+    def __init__(self, fset: FeatureSet,
+                 required: Mapping[str, Sequence[int]]):
+        self.fset = fset
+        ps = fset.patch_size
+        rows = []
+        corners = []
+        scales = []
+        ups = []
+        index: Dict[Tuple[str, int], int] = {}
+        dense_images: Dict[str, int] = {}
+        for image_name, ids in required.items():
+            fmap = fset.get_map(image_name, required_ids=list(ids))
+            if fmap.is_dense:
+                patch = fmap.get_patch(kDensePatchId)
+                dense_images[image_name] = len(rows)
+                rows.append(patch.data)
+                corners.append(patch.corner)
+                scales.append(patch.scale)
+                ups.append(patch.upsampling_factor)
+                continue
+            for p2D_idx in ids:
+                key = (image_name, int(p2D_idx))
+                if key in index:
+                    continue
+                patch = fmap.get_patch(int(p2D_idx))
+                index[key] = len(rows)
+                rows.append(patch.data)
+                corners.append(patch.corner)
+                scales.append(patch.scale)
+                ups.append(patch.upsampling_factor)
+        if rows:
+            shapes = {r.shape for r in rows}
+            if len(shapes) > 1:
+                # dense maps of different sizes: cannot stack; keep ragged list.
+                self.packed = None
+                self._ragged = rows
+            self.packed = PackedFeatures(
+                patches=np.stack(rows) if len(shapes) == 1 else rows,
+                corners=np.asarray(corners, dtype=np.float64).reshape(-1, 2),
+                scales=np.asarray(scales, dtype=np.float64).reshape(-1, 2),
+                upsampling=np.asarray(ups, dtype=np.float32),
+                index=index, dense_images=dense_images)
+        else:
+            C = fset.channels
+            self.packed = PackedFeatures(
+                np.zeros((0, ps, ps, C)), np.zeros((0, 2)), np.ones((0, 2)),
+                np.ones((0,), np.float32), {}, {})
+
+    # -- factory helpers (reference featureview.cc factories) ---------------
+    @classmethod
+    def from_graph(cls, fset: FeatureSet, graph,
+                   node_subset: Optional[Sequence[int]] = None) -> "FeatureView":
+        image_ids, feature_idxs = graph.nodes_array()
+        node_ids = (np.arange(graph.num_nodes) if node_subset is None
+                    else np.asarray(node_subset))
+        required: Dict[str, List[int]] = {}
+        for nid in node_ids:
+            name = graph.image_id_to_name[int(image_ids[nid])]
+            required.setdefault(name, []).append(int(feature_idxs[nid]))
+        return cls(fset, required)
+
+    @classmethod
+    def from_reconstruction(cls, fset: FeatureSet, reconstruction,
+                            point3D_ids: Optional[Sequence[int]] = None
+                            ) -> "FeatureView":
+        required: Dict[str, List[int]] = {}
+        p3D_ids = (reconstruction.points3D.keys() if point3D_ids is None
+                   else point3D_ids)
+        for pid in p3D_ids:
+            p3D = reconstruction.points3D[pid]
+            for image_id, p2D_idx in p3D.track:
+                name = reconstruction.images[image_id].name
+                required.setdefault(name, []).append(int(p2D_idx))
+        return cls(fset, required)
+
+    @classmethod
+    def from_image_list(cls, fset: FeatureSet,
+                        image_names: Sequence[str]) -> "FeatureView":
+        required = {}
+        for name in image_names:
+            fmap = fset.get_map(name)
+            required[name] = fmap.keypoint_ids()
+        return cls(fset, required)

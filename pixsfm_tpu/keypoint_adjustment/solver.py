@@ -1,0 +1,454 @@
+"""Featuremetric keypoint adjustment as one batched LM program.
+
+The reference fans independent Ceres problems (one per FFD bin of tracks) across a
+thread pool (pixsfm/keypoint_adjustment/src/featuremetric_keypoint_optimizer.h:22-156 +
+base/src/parallel_optimizer.h). The TPU-native design solves *all* bins lock-stepped:
+
+- parameters: ``kp [P, K, 2]`` image-coordinate keypoints, padded per problem;
+- residuals: per intra-track match edge ``r_e = f_i(kp_i) - f_j(kp_j)`` with ``f`` the
+  L2-normalized bicubic interpolation of each keypoint's feature patch
+  (residuals/src/featuremetric.h:24-69);
+- robustification: IRLS weights ``sim_e * rho'(||r||^2)`` (ScaledLoss-by-similarity,
+  featuremetric_keypoint_optimizer.h:190-195);
+- normal equations assembled **gather-free** with one-hot edge incidence matrices:
+  ``H += S_i^T (w J_i^T J_i) S_i - S_i^T (w J_i^T J_j) S_j + ...`` — all einsums on
+  the MXU;
+- bounds: patch extent intersected with ``kp0 +- bound/scale``
+  (keypoint_optimizer.h:110-157), enforced by step projection inside
+  :func:`pixsfm_tpu.ops.lm.lm_solve`.
+
+Root keypoints are frozen (SetMaskedNodesConstant, keypoint_adjustment_options.cc:5-45).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import logger
+from ..base.interpolation import InterpolationConfig, interpolate_with_grad
+from ..base.losses import RobustLoss
+from ..ops.lm import LMOptions, lm_solve
+
+__all__ = ["KAProblems", "build_ka_problems", "solve_ka_problems"]
+
+
+@dataclass
+class KAProblems:
+    """Padded, batched KA subproblems (host arrays; shipped to device per chunk)."""
+    kp0: np.ndarray          # [P, K, 2] image coords
+    patch_row: np.ndarray    # [P, K] row into packed patches
+    corner: np.ndarray       # [P, K, 2]
+    scale: np.ndarray        # [P, K, 2]
+    ups: np.ndarray          # [P, K]
+    kp_free: np.ndarray      # [P, K] bool
+    kp_valid: np.ndarray     # [P, K] bool
+    edge_i: np.ndarray       # [P, E] local kp index
+    edge_j: np.ndarray       # [P, E]
+    edge_w: np.ndarray       # [P, E] similarity weight (0 for padding)
+    lower: np.ndarray        # [P, K, 2]
+    upper: np.ndarray        # [P, K, 2]
+    # write-back bookkeeping: node -> (problem, slot)
+    node_problem: np.ndarray
+    node_slot: np.ndarray
+    node_ids: np.ndarray     # original graph node indices
+
+
+def build_ka_problems(keypoints: Dict[str, np.ndarray], graph,
+                      problem_labels: np.ndarray, root_labels: np.ndarray,
+                      packed, bound: float,
+                      edges: Optional[Tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]] = None,
+                      constant_nodes: Optional[np.ndarray] = None,
+                      weight_by_sim: bool = True,
+                      root_edges_only: bool = False) -> KAProblems:
+    """Pack graph subproblems into padded arrays.
+
+    problem_labels: per-node problem id (-1 = skip). packed: PackedFeatures for the
+    participating (image, keypoint) pairs. ``edges`` overrides the graph's edge list
+    (used by the topological_reference strategy to pass star edges toward roots).
+    """
+    image_ids, feature_idxs = graph.nodes_array()
+    src, dst, sim = edges if edges is not None else graph.edges_array()
+    labels = np.asarray(problem_labels)
+
+    active = labels >= 0
+    node_ids = np.nonzero(active)[0]
+    n_problems = int(labels.max()) + 1 if len(node_ids) else 0
+
+    # local slot per node within its problem
+    order = np.argsort(labels[node_ids], kind="stable")
+    sorted_nodes = node_ids[order]
+    sorted_probs = labels[sorted_nodes]
+    slot = np.zeros(len(sorted_nodes), dtype=np.int64)
+    if len(sorted_nodes):
+        new_prob = np.r_[True, sorted_probs[1:] != sorted_probs[:-1]]
+        starts = np.nonzero(new_prob)[0]
+        slot = np.arange(len(sorted_nodes))
+        slot -= np.repeat(starts, np.diff(np.r_[starts, len(sorted_nodes)]))
+    node_problem = np.full(graph.num_nodes, -1, dtype=np.int64)
+    node_slot = np.full(graph.num_nodes, -1, dtype=np.int64)
+    node_problem[sorted_nodes] = sorted_probs
+    node_slot[sorted_nodes] = slot
+
+    K = int(slot.max()) + 1 if len(sorted_nodes) else 1
+
+    # intra-track edges with both ends in the same (active) problem
+    keep = (active[src] & active[dst] & (labels[src] == labels[dst])
+            & (src != dst))
+    if root_edges_only:
+        keep &= (root_labels[src] | root_labels[dst])
+    e_src, e_dst, e_sim = src[keep], dst[keep], sim[keep]
+    e_prob = labels[e_src]
+
+    # per-problem edge slots
+    eorder = np.argsort(e_prob, kind="stable")
+    e_src, e_dst, e_sim, e_prob = (e_src[eorder], e_dst[eorder],
+                                   e_sim[eorder], e_prob[eorder])
+    eslot = np.arange(len(e_prob))
+    if len(e_prob):
+        enew = np.r_[True, e_prob[1:] != e_prob[:-1]]
+        estarts = np.nonzero(enew)[0]
+        eslot -= np.repeat(estarts, np.diff(np.r_[estarts, len(e_prob)]))
+    E = int(eslot.max()) + 1 if len(e_prob) else 1
+
+    def pad8(x):
+        return max(int(np.ceil(x / 8)) * 8, 8)
+
+    K, E = pad8(K), pad8(E)
+
+    P = max(n_problems, 1)
+    kp0 = np.zeros((P, K, 2), np.float32)
+    patch_row = np.zeros((P, K), np.int32)
+    corner = np.zeros((P, K, 2), np.float32)
+    scale = np.ones((P, K, 2), np.float32)
+    ups = np.ones((P, K), np.float32)
+    kp_free = np.zeros((P, K), bool)
+    kp_valid = np.zeros((P, K), bool)
+    lower = np.full((P, K, 2), -np.inf, np.float32)
+    upper = np.full((P, K, 2), np.inf, np.float32)
+
+    const = (np.zeros(graph.num_nodes, bool) if constant_nodes is None
+             else np.asarray(constant_nodes, bool))
+
+    ps = packed.patches.shape[1] if packed.num_patches else 0
+    for nid in sorted_nodes:
+        p, k = node_problem[nid], node_slot[nid]
+        name = graph.image_id_to_name[int(image_ids[nid])]
+        fidx = int(feature_idxs[nid])
+        row = packed.row(name, fidx)
+        kp = keypoints[name][fidx]
+        kp0[p, k] = kp
+        patch_row[p, k] = row
+        corner[p, k] = packed.corners[row]
+        scale[p, k] = packed.scales[row]
+        ups[p, k] = packed.upsampling[row]
+        kp_valid[p, k] = True
+        kp_free[p, k] = not (root_labels[nid] or const[nid])
+        # bounds: patch extent (in image coords) intersect kp +- bound/scale
+        sc = packed.scales[row]
+        lo = (packed.corners[row] + 0.5) / sc
+        hi = lo + np.array([ps, ps]) / sc
+        if bound > 0:
+            lo = np.maximum(lo, kp - bound / sc)
+            hi = np.minimum(hi, kp + bound / sc)
+        lower[p, k] = lo
+        upper[p, k] = hi
+
+    edge_i = np.zeros((P, E), np.int32)
+    edge_j = np.zeros((P, E), np.int32)
+    edge_w = np.zeros((P, E), np.float32)
+    edge_i[e_prob, eslot] = node_slot[e_src]
+    edge_j[e_prob, eslot] = node_slot[e_dst]
+    edge_w[e_prob, eslot] = e_sim if weight_by_sim else 1.0
+
+    return KAProblems(kp0, patch_row, corner, scale, ups, kp_free, kp_valid,
+                      edge_i, edge_j, edge_w, lower, upper,
+                      node_problem, node_slot, node_ids)
+
+
+# ---------------------------------------------------------------------------
+# device-side system assembly
+# ---------------------------------------------------------------------------
+
+def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig):
+    """Batched per-keypoint interpolation: returns f, dfdx, dfdy [P, K, C]
+    (derivatives w.r.t. image coordinates)."""
+    uv = (kp * scale - 0.5 - corner) * ups[..., None]
+    r = uv[..., 1]
+    c = uv[..., 0]
+
+    def one(patch, rr, cc):
+        return interpolate_with_grad(patch, rr, cc, interp)
+
+    f, dfdr, dfdc = jax.vmap(jax.vmap(one))(patches, r, c)
+    su = scale * ups[..., None]
+    dfdx = dfdc * su[..., 0:1]
+    dfdy = dfdr * su[..., 1:2]
+    return f, dfdx, dfdy
+
+
+def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
+                   K: int):
+    """Return (system_fn, cost_fn) factories closing over static config.
+
+    The returned functions take the padded problem arrays explicitly so a single
+    jitted instance serves every chunk of equal shape.
+    """
+
+    def _common(x, data):
+        (patch_row, corner, scale, ups, edge_i, edge_j, edge_w) = data
+        P = x.shape[0]
+        kp = x.reshape(P, K, 2)
+        patches = all_patches[patch_row]          # [P, K, ps, ps, C] gather
+        f, dfdx, dfdy = _eval_keypoints(patches, kp, corner, scale, ups,
+                                        interp)
+        fi = jnp.take_along_axis(f, edge_i[..., None], axis=1)
+        fj = jnp.take_along_axis(f, edge_j[..., None], axis=1)
+        r = fi - fj                                # [P, E, C]
+        s = jnp.sum(r * r, axis=-1)                # [P, E]
+        return kp, f, dfdx, dfdy, r, s
+
+    def cost_fn(x, data):
+        (_, _, _, _, _, _, edge_w) = data
+        *_, r, s = _common(x, data)
+        return 0.5 * jnp.sum(edge_w * loss(s), axis=1)
+
+    def system_fn(x, data):
+        (patch_row, corner, scale, ups, edge_i, edge_j, edge_w) = data
+        kp, f, dfdx, dfdy, r, s = _common(x, data)
+        P, E = edge_i.shape
+        C = f.shape[-1]
+
+        cost = 0.5 * jnp.sum(edge_w * loss(s), axis=1)
+        w = edge_w * loss.weight(s)                # [P, E]
+
+        # per-edge jacobians [P, E, C, 2]
+        Ji = jnp.stack([
+            jnp.take_along_axis(dfdx, edge_i[..., None], axis=1),
+            jnp.take_along_axis(dfdy, edge_i[..., None], axis=1)], axis=-1)
+        Jj = jnp.stack([
+            jnp.take_along_axis(dfdx, edge_j[..., None], axis=1),
+            jnp.take_along_axis(dfdy, edge_j[..., None], axis=1)], axis=-1)
+
+        # 2x2 blocks
+        Aii = jnp.einsum("peca,pecb->peab", Ji, Ji)
+        Ajj = jnp.einsum("peca,pecb->peab", Jj, Jj)
+        Aij = -jnp.einsum("peca,pecb->peab", Ji, Jj)
+        gi_blk = jnp.einsum("peca,pec->pea", Ji, r)
+        gj_blk = -jnp.einsum("peca,pec->pea", Jj, r)
+
+        # one-hot incidence [P, E, K] — scatter as MXU einsums
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+        Si = (edge_i[..., None] == iota).astype(jnp.float32)
+        Sj = (edge_j[..., None] == iota).astype(jnp.float32)
+
+        def blocks(Sa, Sb, A):
+            return jnp.einsum("pek,peab,pel->pkalb", Sa, w[..., None, None] * A,
+                              Sb)
+
+        Hb = (blocks(Si, Si, Aii) + blocks(Sj, Sj, Ajj)
+              + blocks(Si, Sj, Aij)
+              + blocks(Sj, Si, jnp.swapaxes(Aij, -1, -2)))
+        H = Hb.reshape(P, 2 * K, 2 * K)
+        g = (jnp.einsum("pek,pea->pka", Si, w[..., None] * gi_blk)
+             + jnp.einsum("pek,pea->pka", Sj, w[..., None] * gj_blk)
+             ).reshape(P, 2 * K)
+        return cost, H, g
+
+    return system_fn, cost_fn
+
+
+def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
+                         interp: InterpolationConfig) -> np.ndarray:
+    """Batched descriptor lookup at image coords (no gradients) — used to freeze
+    root/reference descriptors. Returns [N, C] float32."""
+    from ..base.interpolation import interpolate
+
+    patches = jnp.asarray(packed_patches)[np.asarray(rows)]
+    kps = jnp.asarray(np.asarray(kps, np.float32))
+    corners = jnp.asarray(np.asarray(corners, np.float32))
+    scales = jnp.asarray(np.asarray(scales, np.float32))
+    ups = jnp.asarray(np.asarray(ups, np.float32))
+    uv = (kps * scales - 0.5 - corners) * ups[..., None]
+
+    @jax.jit
+    def run(patches, r, c):
+        return jax.vmap(lambda p, rr, cc: interpolate(p, rr, cc, interp))(
+            patches, r, c)
+
+    return np.asarray(run(patches, uv[..., 1], uv[..., 0]))
+
+
+def make_target_system(all_patches, interp: InterpolationConfig,
+                       loss: RobustLoss):
+    """Fixed-target system: per problem one 2-DoF keypoint against constant
+    reference descriptors (covers topological_reference KA — the root is constant
+    so its descriptor is a fixed target — and QKA's FeatureReference2DCostFunctor,
+    reference residuals/src/feature_reference.h:23-66).
+
+    Problem data: patch_row [P], corner/scale [P,2], ups [P], targets [P,T,C],
+    target_w [P,T] (0 = padding).
+    """
+
+    def _eval(x, data):
+        patch_row, corner, scale, ups, targets, target_w = data
+        kp = x  # [P, 2]
+        uv = (kp * scale - 0.5 - corner) * ups[..., None]
+
+        def one(patch, rr, cc):
+            return interpolate_with_grad(patch, rr, cc, interp)
+
+        patches = all_patches[patch_row]
+        f, dfdr, dfdc = jax.vmap(one)(patches, uv[..., 1], uv[..., 0])
+        su = scale * ups[..., None]
+        dfdx = dfdc * su[..., 0:1]
+        dfdy = dfdr * su[..., 1:2]
+        r = f[:, None, :] - targets          # [P, T, C]
+        s = jnp.sum(r * r, axis=-1)          # [P, T]
+        return f, dfdx, dfdy, r, s
+
+    def cost_fn(x, data):
+        target_w = data[-1]
+        *_, s = _eval(x, data)
+        return 0.5 * jnp.sum(target_w * loss(s), axis=1)
+
+    def system_fn(x, data):
+        target_w = data[-1]
+        f, dfdx, dfdy, r, s = _eval(x, data)
+        cost = 0.5 * jnp.sum(target_w * loss(s), axis=1)
+        w = target_w * loss.weight(s)        # [P, T]
+        J = jnp.stack([dfdx, dfdy], axis=-1)  # [P, C, 2]
+        JtJ = jnp.einsum("pca,pcb->pab", J, J)  # same J for all targets
+        H = jnp.sum(w, axis=1)[:, None, None] * JtJ
+        g = jnp.einsum("pt,ptc,pca->pa", w, r, J)
+        return cost, H, g
+
+    return system_fn, cost_fn
+
+
+def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
+                          target_w, lower, upper, packed_patches,
+                          interp: InterpolationConfig, loss: RobustLoss,
+                          lm_opts: LMOptions, chunk: int = 8192,
+                          free_mask: Optional[np.ndarray] = None):
+    """Batched fixed-target LM over P independent keypoints. Returns (kp, summary)."""
+    P = kp0.shape[0]
+    all_patches = jnp.asarray(packed_patches)
+    system_fn, cost_fn = make_target_system(all_patches, interp, loss)
+
+    @jax.jit
+    def run_chunk(x0, data, lower, upper, pmask, fmask):
+        sysf = lambda x: system_fn(x, data)
+        costf = lambda x: cost_fn(x, data)
+        return lm_solve(sysf, costf, x0, param_mask=fmask,
+                        problem_mask=pmask, lower=lower, upper=upper,
+                        opts=lm_opts)
+
+    out = np.array(kp0, np.float32, copy=True)
+    tot = dict(initial_cost=0.0, final_cost=0.0, num_problems=P, iterations=0)
+    if free_mask is None:
+        free_mask = np.ones(P, bool)
+    chunk = min(chunk, max(P, 1))
+    n_chunks = int(np.ceil(P / chunk)) if P else 0
+    for ci in range(n_chunks):
+        sl = slice(ci * chunk, min((ci + 1) * chunk, P))
+        n = sl.stop - sl.start
+        pad = chunk - n
+
+        def pad0(a, fill=0):
+            if pad == 0:
+                return np.ascontiguousarray(a)
+            return np.concatenate(
+                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+        data = tuple(jnp.asarray(x) for x in (
+            pad0(patch_row[sl]), pad0(corner[sl]), pad0(scale[sl], 1),
+            pad0(ups[sl], 1), pad0(targets[sl]), pad0(target_w[sl])))
+        lo = pad0(np.nan_to_num(lower[sl], neginf=-1e30), -1e30)
+        hi = pad0(np.nan_to_num(upper[sl], posinf=1e30), 1e30)
+        pmask = np.zeros(chunk, bool)
+        pmask[:n] = free_mask[sl]
+        fmask = np.repeat(pmask[:, None], 2, axis=1)
+
+        x, summary = run_chunk(jnp.asarray(pad0(kp0[sl]).astype(np.float32)),
+                               data, jnp.asarray(lo.astype(np.float32)),
+                               jnp.asarray(hi.astype(np.float32)),
+                               jnp.asarray(pmask), jnp.asarray(fmask))
+        xs = np.asarray(x)[:n]
+        sel = free_mask[sl]
+        out[sl] = np.where(sel[:, None], xs, out[sl])
+        tot["initial_cost"] += float(jnp.sum(summary.initial_cost[:n]))
+        tot["final_cost"] += float(jnp.sum(summary.final_cost[:n]))
+        tot["iterations"] = max(tot["iterations"],
+                                int(jnp.max(summary.iterations)))
+    return out, tot
+
+
+def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
+                      interp: InterpolationConfig, loss: RobustLoss,
+                      lm_opts: LMOptions, chunk: int = 128
+                      ) -> Tuple[np.ndarray, Dict]:
+    """Run all padded problems through the batched LM, chunked to bound memory.
+
+    Returns refined kp [P, K, 2] and a merged summary dict (the reference merges
+    per-subset Ceres summaries — util/src/statistics.h:14-60).
+    """
+    P, K, _ = problems.kp0.shape
+    all_patches = jnp.asarray(packed_patches)
+    system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K)
+
+    @partial(jax.jit, static_argnums=())
+    def run_chunk(x0, data, kp_free, lower, upper, pmask):
+        sysf = lambda x: system_fn(x, data)
+        costf = lambda x: cost_fn(x, data)
+        mask = jnp.repeat(kp_free, 2, axis=1)
+        x, summary = lm_solve(sysf, costf, x0, param_mask=mask,
+                              problem_mask=pmask,
+                              lower=lower.reshape(x0.shape),
+                              upper=upper.reshape(x0.shape), opts=lm_opts)
+        return x, summary
+
+    out = np.zeros_like(problems.kp0)
+    tot = dict(initial_cost=0.0, final_cost=0.0, num_problems=P,
+               iterations=0)
+    n_chunks = int(np.ceil(P / chunk))
+    for ci in range(n_chunks):
+        sl = slice(ci * chunk, min((ci + 1) * chunk, P))
+        n = sl.stop - sl.start
+        pad = chunk - n
+
+        def pad0(a):
+            if pad == 0:
+                return a
+            return np.concatenate([a, np.zeros((pad,) + a.shape[1:],
+                                               a.dtype)], axis=0)
+
+        x0 = pad0(problems.kp0[sl]).reshape(chunk, K * 2)
+        data = tuple(jnp.asarray(pad0(a)) for a in (
+            problems.patch_row[sl], problems.corner[sl], problems.scale[sl],
+            problems.ups[sl], problems.edge_i[sl], problems.edge_j[sl],
+            problems.edge_w[sl]))
+        kp_free = pad0(problems.kp_free[sl]).reshape(chunk, K)
+        lower = pad0(np.nan_to_num(problems.lower[sl], neginf=-1e30))
+        upper = pad0(np.nan_to_num(problems.upper[sl], posinf=1e30))
+        # padded rows get wide-open bounds
+        if pad:
+            lower[n:] = -1e30
+            upper[n:] = 1e30
+        pmask = np.zeros(chunk, bool)
+        pmask[:n] = True
+
+        x, summary = run_chunk(jnp.asarray(x0), data, jnp.asarray(kp_free),
+                               jnp.asarray(lower), jnp.asarray(upper),
+                               jnp.asarray(pmask))
+        out[sl] = np.asarray(x).reshape(chunk, K, 2)[:n]
+        tot["initial_cost"] += float(jnp.sum(summary.initial_cost[:n]))
+        tot["final_cost"] += float(jnp.sum(summary.final_cost[:n]))
+        tot["iterations"] += int(jnp.max(summary.iterations))
+    return out, tot

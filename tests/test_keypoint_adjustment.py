@@ -1,0 +1,111 @@
+"""KA end-to-end on synthetic features: matched keypoints must converge to the
+root keypoint's position in a shared smooth feature field (the KA objective's
+global optimum when patches are cut from the same field)."""
+
+import numpy as np
+import pytest
+
+from pixsfm_tpu.base.graph import (compute_root_labels, compute_score_labels,
+                                   compute_track_labels)
+from pixsfm_tpu.features.featuremaps import (FeatureMap, FeaturePatch,
+                                             FeatureSet, FeatureManager)
+from pixsfm_tpu.keypoint_adjustment import (
+    FeatureMetricKeypointAdjuster, KeypointAdjuster,
+    TopologicalReferenceKeypointAdjuster, build_matching_graph,
+    find_problem_labels,
+)
+
+
+def smooth_field(H=96, W=96, C=8, seed=0):
+    """Low-frequency random field: sum of random sinusoids per channel."""
+    rng = np.random.default_rng(seed)
+    y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    field = np.zeros((H, W, C), np.float32)
+    for c in range(C):
+        for _ in range(4):
+            fx, fy = rng.uniform(0.02, 0.12, 2)
+            ph = rng.uniform(0, 2 * np.pi, 2)
+            field[..., c] += rng.uniform(0.3, 1.0) * (
+                np.sin(2 * np.pi * fx * x + ph[0])
+                * np.sin(2 * np.pi * fy * y + ph[1]))
+    return field
+
+
+def make_scene(n_kps=12, ps=16, seed=0, n_images=3, noise_px=1.2):
+    """Images all observe the same field; keypoints perturbed except in image 0."""
+    rng = np.random.default_rng(seed)
+    field = smooth_field(seed=seed)
+    H, W, C = field.shape
+    true_xy = rng.uniform(ps, min(H, W) - ps, size=(n_kps, 2))
+
+    fset = FeatureSet(channels=C, patch_size=ps, dtype="float32")
+    keypoints = {}
+    names = [f"im{i}.jpg" for i in range(n_images)]
+    scale = np.array([1.0, 1.0])
+    for i, name in enumerate(names):
+        kps = true_xy.copy()
+        if i > 0:
+            kps = kps + rng.uniform(-noise_px, noise_px, size=kps.shape)
+        corners = np.floor(kps - ps / 2).astype(np.int64)
+        patches = np.stack([
+            field[cy:cy + ps, cx:cx + ps] for cx, cy in corners])
+        fmap = FeatureMap.from_arrays(patches, list(range(n_kps)), corners,
+                                      scale)
+        fset.emplace(name, fmap)
+        keypoints[name] = kps.astype(np.float64)
+
+    matches = {}
+    for i in range(n_images):
+        for j in range(i + 1, n_images):
+            m = np.stack([np.arange(n_kps), np.arange(n_kps)], axis=1)
+            matches[(names[i], names[j])] = m
+    return field, true_xy, fset, keypoints, matches, names
+
+
+class _Manager:
+    def __init__(self, fset):
+        self._fset = fset
+        self.num_levels = 1
+
+    def fset(self, i):
+        return self._fset
+
+
+@pytest.mark.parametrize("adjuster_cls", [
+    FeatureMetricKeypointAdjuster, TopologicalReferenceKeypointAdjuster])
+def test_ka_converges_to_truth(adjuster_cls):
+    field, true_xy, fset, keypoints, matches, names = make_scene(seed=3)
+    graph = build_matching_graph(matches)
+    adj = adjuster_cls({"interpolation": {"mode": "BICUBIC",
+                                          "l2_normalize": True},
+                        "optimizer": {"loss": {"name": "trivial",
+                                               "params": []}}})
+    before_err = np.mean([np.linalg.norm(keypoints[n] - true_xy, axis=1).mean()
+                          for n in names[1:]])
+    out = adj.refine_multilevel(keypoints, _Manager(fset), graph)
+    # roots (image untouched by noise may not be root; compare agreement of all
+    # matched keypoints with their track mates instead of absolute truth)
+    after_err = np.mean([np.linalg.norm(keypoints[n] - keypoints[names[0]],
+                                        axis=1).mean() for n in names[1:]])
+    assert after_err < 0.55, f"keypoints did not converge: {after_err}"
+    assert after_err < before_err * 0.6
+    assert "initial_cost" in out and out["final_cost"][0] <= \
+        out["initial_cost"][0] + 1e-6
+
+
+def test_find_problem_labels():
+    track_labels = [0, 0, 0, 1, 1, 2, 2, 2, 2]
+    labels, bins = find_problem_labels(track_labels, max_per_problem=5)
+    labels = np.asarray(labels)
+    # tracks stay whole
+    for t in set(track_labels):
+        ls = labels[np.asarray(track_labels) == t]
+        assert len(set(ls.tolist())) == 1
+    assert all(b <= 5 or b == max(bins) for b in bins)
+
+
+def test_adjuster_factory():
+    adj = KeypointAdjuster.create({"strategy": "topological_reference"})
+    assert isinstance(adj, TopologicalReferenceKeypointAdjuster)
+    adj = KeypointAdjuster.create(None)
+    assert isinstance(adj, FeatureMetricKeypointAdjuster)
