@@ -1,0 +1,286 @@
+"""Bundle adjustment orchestration (reference: pixsfm/bundle_adjustment/main.py).
+
+Strategies (BundleAdjuster.create, reference ba/main.py:65-74):
+
+- ``geometric``: classic reprojection-error BA (GeometricBundleOptimizer,
+  geometric_bundle_optimizer.h:12-88) — also the differential-test target.
+- ``feature_reference``: per-observation featuremetric error toward each track's
+  robust reference descriptor (FeatureReferenceBundleOptimizer,
+  feature_reference_bundle_optimizer.h:21-149).
+- ``costmaps``: 1-D residuals over precomputed cost patches
+  (CostMapBundleOptimizer, costmap_bundle_optimizer.h:17-132).
+- ``patch_warp``: fronto-parallel patch warping (PatchWarpBundleOptimizer,
+  patch_warp_bundle_optimizer.h:21-61).
+
+All strategies funnel into :func:`pixsfm_tpu.ops.schur.ba_solve` with different
+residual closures — the TPU analogue of the reference's CRTP ``AddResiduals``.
+"""
+
+from __future__ import annotations
+
+import time
+from copy import deepcopy
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import logger
+from ..base import interpolation_default_conf, solver_default_conf
+from ..base.cameras import img_from_cam
+from ..base.geometry import apply_pose
+from ..base.interpolation import InterpolationConfig, interpolate
+from ..base.losses import make_loss
+from ..config import merge
+from ..features.featuremaps import FeatureView
+from ..ops.schur import BAObservations, BAOptions, BAState, ba_solve, \
+    make_pair_list
+from ..sfm.model import Reconstruction
+from .problem import (BundleAdjustmentSetup, PackedBA, default_problem_setup,
+                      pack_ba_problem)
+
+__all__ = ["BundleAdjuster", "GeometricBundleAdjuster",
+           "FeatureReferenceBundleAdjuster", "CostMapBundleAdjuster",
+           "PatchWarpBundleAdjuster"]
+
+
+class BundleAdjuster:
+    default_conf = {
+        "strategy": "feature_reference",
+        "apply": True,
+        "interpolation": interpolation_default_conf,
+        "level_indices": None,
+        "max_tracks_per_problem": 10,
+        "num_threads": -1,
+        "optimizer": {
+            "loss": {"name": "cauchy", "params": [0.25]},
+            "solver": {**solver_default_conf, "parameter_tolerance": 0.0,
+                       "use_inner_iterations": True, "num_threads": -1},
+            "print_summary": False,
+            "refine_focal_length": True,
+            "refine_principal_point": False,
+            "refine_extra_params": True,
+            "refine_extrinsics": True,
+        },
+        "references": {
+            "loss": {"name": "cauchy", "params": [0.25]},
+            "iters": 100,
+            "keep_observations": False,
+            "compute_offsets3D": False,
+            "num_threads": -1,
+        },
+        "repeats": 1,
+    }
+
+    def __init__(self, conf=None):
+        self.conf = merge(self.default_conf, conf or {})
+
+    @classmethod
+    def create(cls, conf=None):
+        strategy_to_solver = {
+            "feature_reference": FeatureReferenceBundleAdjuster,
+            "costmaps": CostMapBundleAdjuster,
+            "patch_warp": PatchWarpBundleAdjuster,
+            "geometric": GeometricBundleAdjuster,
+        }
+        strategy = cls.default_conf["strategy"]
+        if conf is not None and "strategy" in conf:
+            strategy = conf["strategy"]
+        return strategy_to_solver[strategy](conf)
+
+    # -- shared -------------------------------------------------------------
+    def _optimizer_flags(self):
+        opt = self.conf.optimizer
+        return dict(
+            refine_focal_length=bool(opt.get("refine_focal_length", True)),
+            refine_principal_point=bool(opt.get("refine_principal_point",
+                                                False)),
+            refine_extra_params=bool(opt.get("refine_extra_params", True)),
+            refine_extrinsics=bool(opt.get("refine_extrinsics", True)),
+        )
+
+    def _ba_options(self, **overrides) -> BAOptions:
+        return BAOptions.from_solver_conf(self.conf.optimizer.get("solver"),
+                                          **overrides)
+
+    def _run_ba(self, reconstruction: Reconstruction, packed: PackedBA,
+                residual_fn, obs_data, loss, opts: BAOptions,
+                pair_arrays=None) -> Dict:
+        t0 = time.time()
+        O = len(packed.obs_img)
+        if pair_arrays is None:
+            pair_arrays = make_pair_list(packed.obs_pt, len(packed.point_ids))
+        obs = BAObservations(
+            img_idx=jnp.asarray(packed.obs_img),
+            cam_idx=jnp.asarray(packed.obs_cam),
+            pt_idx=jnp.asarray(packed.obs_pt),
+            obs_data=obs_data,
+            valid=jnp.ones((O,), bool),
+            pair_o1=jnp.asarray(pair_arrays[0]),
+            pair_o2=jnp.asarray(pair_arrays[1]))
+        state0 = BAState(jnp.asarray(packed.qvec), jnp.asarray(packed.tvec),
+                         jnp.asarray(packed.cams), jnp.asarray(packed.xyz))
+        state, summary = ba_solve(
+            residual_fn, state0, obs, loss,
+            pose_free=jnp.asarray(packed.pose_free),
+            tvec_free=jnp.asarray(packed.tvec_free),
+            cam_free=jnp.asarray(packed.cam_free),
+            point_free=jnp.asarray(packed.point_free), opts=opts)
+        packed.unpack_into(reconstruction, np.asarray(state.qvec),
+                           np.asarray(state.tvec), np.asarray(state.cams),
+                           np.asarray(state.xyz))
+        out = {k: float(v) for k, v in summary.items()}
+        out["time"] = time.time() - t0
+        logger.info("BA Time: %.3fs, cost change: %.6g --> %.6g (%d iters)",
+                    out["time"], out["initial_cost"], out["final_cost"],
+                    int(out["iterations"]))
+        return out
+
+    def refine(self, reconstruction: Reconstruction, *args, **kwargs) -> Dict:
+        raise NotImplementedError
+
+    def refine_multilevel(self, reconstruction, feature_manager,
+                          problem_setup=None) -> Dict:
+        level_indices = self.conf.get("level_indices")
+        levels = (level_indices if level_indices not in (None, "all")
+                  else list(reversed(range(feature_manager.num_levels))))
+        outputs: Dict[str, list] = {}
+        for _ in range(int(self.conf.get("repeats", 1))):
+            for level in levels:
+                out = self.refine(reconstruction,
+                                  feature_manager.fset(level),
+                                  problem_setup=problem_setup)
+                for k, v in out.items():
+                    outputs.setdefault(k, []).append(v)
+        return outputs
+
+
+class GeometricBundleAdjuster(BundleAdjuster):
+    """Reprojection-error BA (reference: geometric_bundle_optimizer.h:12-88 +
+    ba/main.py geometric strategy). Loss default trivial like COLMAP."""
+
+    default_conf = deepcopy(BundleAdjuster.default_conf)
+    default_conf["strategy"] = "geometric"
+    default_conf["optimizer"]["loss"] = {"name": "trivial", "params": []}
+
+    def refine(self, reconstruction: Reconstruction, feature_set=None,
+               problem_setup=None) -> Dict:
+        flags = self._optimizer_flags()
+        packed = pack_ba_problem(reconstruction, problem_setup, **flags)
+        model = packed.cam_model
+        loss = make_loss(self.conf.optimizer.get("loss"))
+        opts = self._ba_options()
+
+        def residual_fn(qvec, tvec, cam, X, obs_slice):
+            xy_obs = obs_slice
+            x_cam = apply_pose(qvec, tvec, X)
+            uv = x_cam[:2] / x_cam[2]
+            return img_from_cam(model, cam, uv) - xy_obs
+
+        obs_data = jnp.asarray(packed.obs_xy, jnp.float32)
+        return self._run_ba(reconstruction, packed, residual_fn, obs_data,
+                            loss, opts)
+
+    # geometric BA needs no features
+    def refine_multilevel(self, reconstruction, feature_manager=None,
+                          problem_setup=None) -> Dict:
+        out = self.refine(reconstruction, None, problem_setup=problem_setup)
+        return {k: [v] for k, v in out.items()}
+
+
+class FeatureReferenceBundleAdjuster(BundleAdjuster):
+    """Featuremetric BA toward per-track robust references (reference:
+    feature_reference_bundle_optimizer.h:21-149, ba/main.py:105-154)."""
+
+    default_conf = deepcopy(BundleAdjuster.default_conf)
+    default_conf["strategy"] = "feature_reference"
+
+    def refine(self, reconstruction: Reconstruction, feature_set,
+               problem_setup=None, references=None) -> Dict:
+        from .references import extract_references
+
+        flags = self._optimizer_flags()
+        packed = pack_ba_problem(reconstruction, problem_setup, **flags)
+        model = packed.cam_model
+        interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
+        loss = make_loss(self.conf.optimizer.get("loss"))
+        opts = self._ba_options()
+
+        view = FeatureView.from_reconstruction(feature_set, reconstruction,
+                                               packed.point_ids)
+        pf = view.packed
+
+        if references is None:
+            references = extract_references(
+                reconstruction, feature_set, view, self.conf.references,
+                interp, point3D_ids=packed.point_ids)
+
+        # per-observation patch + target descriptor arrays
+        O = len(packed.obs_img)
+        rows = np.zeros(O, np.int32)
+        for i in range(O):
+            name = reconstruction.images[int(packed.obs_image_id[i])].name
+            rows[i] = pf.row(name, int(packed.obs_p2D_idx[i]))
+        targets = np.stack([references[pid].descriptor
+                            for pid in np.asarray(packed.point_ids)[
+                                packed.obs_pt]]) if O else np.zeros((0, 1))
+
+        patches = jnp.asarray(pf.patches)
+        corners = jnp.asarray(pf.corners.astype(np.float32))
+        scales = jnp.asarray(pf.scales.astype(np.float32))
+        ups = jnp.asarray(pf.upsampling.astype(np.float32))
+        obs_data = (jnp.asarray(rows),
+                    jnp.asarray(targets.astype(np.float32)))
+
+        def residual_fn(qvec, tvec, cam, X, obs_slice):
+            row, target = obs_slice
+            x_cam = apply_pose(qvec, tvec, X)
+            uv = x_cam[:2] / x_cam[2]
+            xy = img_from_cam(model, cam, uv)
+            pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
+            f = interpolate(patches[row], pc[1], pc[0], interp)
+            return f - target
+
+        return self._run_ba(reconstruction, packed, residual_fn, obs_data,
+                            loss, opts)
+
+
+class CostMapBundleAdjuster(BundleAdjuster):
+    """BA over precomputed costmaps (reference: costmap_bundle_optimizer.h:17-132).
+    Implemented in costmaps.py; this class wires extraction + solve."""
+
+    default_conf = deepcopy(BundleAdjuster.default_conf)
+    default_conf["strategy"] = "costmaps"
+    default_conf["costmaps"] = {
+        "loss": {"name": "cauchy", "params": [0.25]},
+        "as_gradientfield": True,
+        "compute_cross_derivative": False,
+        "num_threads": -1,
+        "dense_cut_size": 100,
+        "upsampling_factor": 1,
+    }
+
+    def refine(self, reconstruction: Reconstruction, feature_set,
+               problem_setup=None) -> Dict:
+        from .costmaps import costmap_ba
+        return costmap_ba(self, reconstruction, feature_set, problem_setup)
+
+
+class PatchWarpBundleAdjuster(BundleAdjuster):
+    """Patch-warping BA (reference: patch_warp_bundle_optimizer.h:21-61).
+    Implemented in patch_warp.py."""
+
+    default_conf = deepcopy(BundleAdjuster.default_conf)
+    default_conf["strategy"] = "patch_warp"
+    default_conf["interpolation"] = {
+        "nodes": [[float(dx), float(dy)] for dy in (-1.5, -0.5, 0.5, 1.5)
+                  for dx in (-1.5, -0.5, 0.5, 1.5)],
+        "mode": "BICUBIC", "l2_normalize": False, "ncc_normalize": True,
+    }
+    default_conf["optimizer"]["regularize_source"] = {"n_nodes": 0}
+
+    def refine(self, reconstruction: Reconstruction, feature_set,
+               problem_setup=None) -> Dict:
+        from .patch_warp import patch_warp_ba
+        return patch_warp_ba(self, reconstruction, feature_set, problem_setup)

@@ -1,0 +1,226 @@
+"""Robust per-track reference descriptors (reference:
+pixsfm/bundle_adjustment/src/reference_extractor.h:57-363 + base/src/irls_optim.h:23-71).
+
+For every 3D point: interpolate each track observation's descriptor at the point's
+*reprojected* location, compute a robust (IRLS) mean over the track, and keep the
+observation whose descriptor is closest to that mean (``closest_to_robust_mean``,
+reference_extractor.h:239-298). Optionally keeps all observations + costs (for
+localization's ``nearest`` mode) and 3D node offsets for patch-warp BA.
+
+TPU design: tracks are padded to a common length and the IRLS loop runs as one
+``vmap``-ed ``fori_loop`` over all points at once — the reference instead bins points
+and runs per-bin threads (parallel_optimizer.h).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import logger
+from ..base.interpolation import InterpolationConfig, interpolate_nodes
+from ..base.losses import RobustLoss, make_loss
+from ..sfm.model import Reconstruction
+
+__all__ = ["Reference", "extract_references", "robust_mean_irls"]
+
+
+@dataclass
+class Reference:
+    """Per-point3D reference (reference: features/src/references.{h,cc})."""
+    source: Tuple[int, int]               # (image_id, p2D_idx) of chosen obs
+    descriptor: np.ndarray                # [n_nodes * C] flattened
+    node_offsets3D: Optional[np.ndarray] = None  # [n_nodes, 3]
+    observations: Optional[List[Tuple[int, int]]] = None
+    costs: Optional[np.ndarray] = None    # [T] distance to robust mean
+    track_descriptors: Optional[np.ndarray] = None  # [T, n_nodes * C]
+
+    @property
+    def channels(self) -> int:
+        return self.descriptor.shape[-1]
+
+    def has_observations(self) -> bool:
+        return self.observations is not None
+
+
+def robust_mean_irls(descriptors: jnp.ndarray, valid: jnp.ndarray,
+                     loss: RobustLoss, iters: int,
+                     l2_normalize: bool = True) -> jnp.ndarray:
+    """IRLS robust mean over axis 0 of [T, D] descriptors (irls_optim.h:23-71).
+
+    valid: [T] mask. Re-normalizes the mean each iteration when l2_normalize.
+    """
+    v = valid.astype(jnp.float32)[:, None]
+
+    def normalize(m):
+        if l2_normalize:
+            return m / jnp.maximum(jnp.linalg.norm(m), 1e-12)
+        return m
+
+    mean0 = normalize(jnp.sum(descriptors * v, axis=0)
+                      / jnp.maximum(jnp.sum(v), 1.0))
+
+    def body(_, mean):
+        d2 = jnp.sum((descriptors - mean) ** 2, axis=1)
+        w = loss.weight(d2) * valid.astype(jnp.float32)
+        m = jnp.sum(descriptors * w[:, None], axis=0) \
+            / jnp.maximum(jnp.sum(w), 1e-12)
+        return normalize(m)
+
+    return jax.lax.fori_loop(0, iters, body, mean0)
+
+
+def extract_references(reconstruction: Reconstruction, feature_set, view,
+                       conf, interp: InterpolationConfig,
+                       point3D_ids: Optional[Sequence[int]] = None,
+                       keep_observations: Optional[bool] = None
+                       ) -> Dict[int, Reference]:
+    """Compute references for all (or the given) points.
+
+    conf: the ``references`` config subtree ({loss, iters, keep_observations,
+    compute_offsets3D}).
+    """
+    import time
+    t0 = time.time()
+    get = conf.get if hasattr(conf, "get") else lambda k, d=None: d
+    loss = make_loss(get("loss", {"name": "cauchy", "params": [0.25]}))
+    iters = int(get("iters", 100) or 100)
+    if keep_observations is None:
+        keep_observations = bool(get("keep_observations", False))
+    compute_offsets = bool(get("compute_offsets3D", False))
+
+    pids = list(point3D_ids if point3D_ids is not None
+                else sorted(reconstruction.points3D.keys()))
+    if not pids:
+        return {}
+
+    pf = view.packed
+    n_nodes = interp.n_nodes
+    C = pf.channels
+    D = n_nodes * C
+
+    # flatten all track observations; compute reprojected locations
+    obs_pt, obs_row, obs_xy, obs_track = [], [], [], []
+    for s, pid in enumerate(pids):
+        p3D = reconstruction.points3D[pid]
+        for (iid, p2D_idx) in p3D.track:
+            im = reconstruction.images[iid]
+            cam = reconstruction.cameras[im.camera_id]
+            x_cam = im.world_to_camera(p3D.xyz)[0]
+            if x_cam[2] <= 1e-6:
+                continue
+            xy = cam.img_from_cam(x_cam[:2] / x_cam[2])
+            obs_pt.append(s)
+            obs_row.append(pf.row(im.name, int(p2D_idx)))
+            obs_xy.append(xy)
+            obs_track.append((iid, int(p2D_idx)))
+    if not obs_pt:
+        return {}
+
+    obs_pt = np.asarray(obs_pt, np.int64)
+    obs_row = np.asarray(obs_row, np.int32)
+    obs_xy = np.asarray(obs_xy, np.float64)
+
+    # batched descriptor interpolation at reprojections
+    patches = jnp.asarray(pf.patches)
+    corners = jnp.asarray(pf.corners.astype(np.float32))[obs_row]
+    scales = jnp.asarray(pf.scales.astype(np.float32))[obs_row]
+    ups = jnp.asarray(pf.upsampling.astype(np.float32))[obs_row]
+    xy = jnp.asarray(obs_xy.astype(np.float32))
+    pc = (xy * scales - 0.5 - corners) * ups[:, None]
+
+    @jax.jit
+    def interp_all(rows, r, c):
+        def one(row, rr, cc):
+            return interpolate_nodes(patches[row], rr, cc, interp).reshape(-1)
+        return jax.vmap(one)(rows, r, c)
+
+    desc = np.asarray(interp_all(jnp.asarray(obs_row), pc[:, 1], pc[:, 0]))
+
+    # pad tracks to T_max and run IRLS batched over points
+    counts = np.bincount(obs_pt, minlength=len(pids))
+    T = max(int(counts.max()), 1)
+    track_desc = np.zeros((len(pids), T, D), np.float32)
+    track_valid = np.zeros((len(pids), T), bool)
+    slot = np.zeros(len(pids), np.int64)
+    obs_slot = np.zeros(len(obs_pt), np.int64)
+    for i, s in enumerate(obs_pt):
+        obs_slot[i] = slot[s]
+        track_desc[s, slot[s]] = desc[i]
+        track_valid[s, slot[s]] = True
+        slot[s] += 1
+
+    @jax.jit
+    def run_irls(td, tv):
+        return jax.vmap(lambda d, v: robust_mean_irls(
+            d, v, loss, iters, l2_normalize=interp.l2_normalize))(td, tv)
+
+    means = np.asarray(run_irls(jnp.asarray(track_desc),
+                                jnp.asarray(track_valid)))
+
+    # per-point: observation closest to the robust mean
+    d2 = np.sum((track_desc - means[:, None, :]) ** 2, axis=2)
+    d2[~track_valid] = np.inf
+    best = np.argmin(d2, axis=1)
+
+    refs: Dict[int, Reference] = {}
+    # map (point_slot, slot) -> original track element
+    track_elems: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    for i, s in enumerate(obs_pt):
+        track_elems[(int(s), int(obs_slot[i]))] = obs_track[i]
+
+    for s, pid in enumerate(pids):
+        if counts[s] == 0:
+            continue
+        b = int(best[s])
+        ref = Reference(
+            source=track_elems[(s, b)],
+            descriptor=track_desc[s, b].copy())
+        if keep_observations:
+            ref.observations = [track_elems[(s, t)]
+                                for t in range(int(counts[s]))]
+            ref.costs = d2[s, :int(counts[s])].copy()
+            ref.track_descriptors = track_desc[s, :int(counts[s])].copy()
+        if compute_offsets and n_nodes > 1:
+            ref.node_offsets3D = _node_offsets3D(
+                reconstruction, ref.source, pids[s], pf, interp)
+        refs[pid] = ref
+
+    logger.info("Reference extraction: %.3fs (%d points)",
+                time.time() - t0, len(refs))
+    return refs
+
+
+def _node_offsets3D(reconstruction: Reconstruction, source: Tuple[int, int],
+                    pid: int, pf, interp: InterpolationConfig) -> np.ndarray:
+    """Back-project interpolation node offsets to 3D at the source observation's
+    depth (reference: reference_extractor.h:331-363). Used by patch-warp BA."""
+    from ..base.projection import pixel_to_world
+
+    iid, p2D_idx = source
+    im = reconstruction.images[iid]
+    cam = reconstruction.cameras[im.camera_id]
+    p3D = reconstruction.points3D[pid]
+    x_cam = im.world_to_camera(p3D.xyz)[0]
+    depth = x_cam[2]
+    xy = cam.img_from_cam(x_cam[:2] / x_cam[2])
+    row = pf.row(im.name, int(p2D_idx))
+    scale = pf.scales[row]
+
+    nodes = interp.nodes_array()  # (dx, dy) in featuremap px
+    offsets = np.zeros((len(nodes), 3))
+    X0 = np.asarray(pixel_to_world(cam.model, jnp.asarray(cam.params),
+                                   jnp.asarray(im.qvec), jnp.asarray(im.tvec),
+                                   jnp.asarray(xy), depth))
+    for i, (dx, dy) in enumerate(nodes):
+        xy_n = xy + np.array([dx, dy]) / scale
+        Xn = np.asarray(pixel_to_world(cam.model, jnp.asarray(cam.params),
+                                       jnp.asarray(im.qvec),
+                                       jnp.asarray(im.tvec),
+                                       jnp.asarray(xy_n), depth))
+        offsets[i] = Xn - X0
+    return offsets
