@@ -1,0 +1,186 @@
+"""Costmap extraction + costmap BA (reference:
+pixsfm/bundle_adjustment/src/costmap_extractor.h:39-435 and
+costmap_bundle_optimizer.h:17-132).
+
+Costmaps shrink the BA residual from C=128 to 1 and let the dense features be freed
+after extraction (low-memory strategy, reference README "costmaps"). Per observation,
+the cost patch stores ``(cost, dcost/dr, dcost/dc[, dcost/drdc])`` where
+``cost = 0.5 * rho(||f - ref||^2)`` over the feature patch, with derivatives via
+central differences of the (optionally L2-normalized) feature channels dotted with
+the residual (costmap_extractor.h:252-321).
+
+TPU design: the whole extraction is a single batched elementwise program over
+``[O, ps, ps, C]`` patches — no loops, no gathers. Costmap BA then runs the standard
+Schur LM with a 1-D gradient-field residual (POLYGRADIENTFIELD interpolation,
+l2_normalize=False — reference ba/main.py:269-275).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import logger
+from ..base.cameras import img_from_cam
+from ..base.geometry import apply_pose
+from ..base.interpolation import InterpolationConfig, interpolate
+from ..base.losses import RobustLoss, make_loss
+from ..features.featuremaps import (FeatureMap, FeaturePatch, FeatureSet,
+                                    FeatureView, PackedFeatures)
+from ..sfm.model import Reconstruction
+from .problem import pack_ba_problem
+from .references import extract_references
+
+__all__ = ["extract_costmaps", "costmap_ba"]
+
+
+def _costmap_kernel(patches, refs, loss: RobustLoss, l2_normalize: bool,
+                    compute_cross: bool):
+    """patches [O, ps, ps, C] (storage dtype), refs [O, C] -> [O, ps, ps, 3|4].
+
+    Fast path of the reference (scale==1: direct reads + central differences,
+    costmap_extractor.h:252-279), batched over all observations at once.
+    """
+    f = patches.astype(jnp.float32)
+    if l2_normalize:
+        f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-20)
+
+    # central differences with edge clamping (same padding as Grid2D clamp)
+    fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    dfdr = 0.5 * (fp[:, 2:, 1:-1] - fp[:, :-2, 1:-1])
+    dfdc = 0.5 * (fp[:, 1:-1, 2:] - fp[:, 1:-1, :-2])
+
+    res = f - refs[:, None, None, :]
+    s = jnp.sum(res * res, axis=-1)
+    cost = 0.5 * loss(s)
+    w = loss.weight(s)
+    dcostdr = w * jnp.sum(res * dfdr, axis=-1)
+    dcostdc = w * jnp.sum(res * dfdc, axis=-1)
+    small = cost <= 1e-8
+    dcostdr = jnp.where(small, 0.0, dcostdr)
+    dcostdc = jnp.where(small, 0.0, dcostdc)
+    chans = [cost, dcostdr, dcostdc]
+    if compute_cross:
+        # rho'' term omitted (reference costmap cross-derivative uses rho[2];
+        # the default config has compute_cross_derivative: False)
+        dpr = jnp.pad(dcostdr[..., None], ((0, 0), (1, 1), (1, 1), (0, 0)),
+                      mode="edge")[..., 0]
+        dcostdrc = 0.5 * (dpr[:, 1:-1, 2:] - dpr[:, 1:-1, :-2])
+        dcostdrc = jnp.where(small, 0.0, dcostdrc)
+        chans.append(dcostdrc)
+    return jnp.stack(chans, axis=-1)
+
+
+def extract_costmaps(reconstruction: Reconstruction, feature_set: FeatureSet,
+                     conf, references_conf, interp: InterpolationConfig,
+                     point3D_ids=None) -> Tuple[FeatureSet, Dict]:
+    """Build a costmap FeatureSet (one cost patch per observation) and the
+    references used. Runs reference extraction inline like the reference
+    (costmap_extractor.h:186-189)."""
+    t0 = time.time()
+    get = conf.get if hasattr(conf, "get") else lambda k, d=None: d
+    loss = make_loss(get("loss", {"name": "cauchy", "params": [0.25]}))
+    compute_cross = bool(get("compute_cross_derivative", False))
+
+    packed_ids = (sorted(reconstruction.points3D.keys())
+                  if point3D_ids is None else list(point3D_ids))
+    view = FeatureView.from_reconstruction(feature_set, reconstruction,
+                                           packed_ids)
+    refs = extract_references(reconstruction, feature_set, view,
+                              references_conf, interp,
+                              point3D_ids=packed_ids)
+
+    pf = view.packed
+    # per-observation rows + reference targets
+    obs = []
+    for pid in packed_ids:
+        if pid not in refs:
+            continue
+        p3D = reconstruction.points3D[pid]
+        for iid, p2D_idx in p3D.track:
+            im = reconstruction.images[iid]
+            obs.append((pf.row(im.name, int(p2D_idx)), pid, im.name,
+                        int(p2D_idx)))
+    if not obs:
+        return FeatureSet(3, feature_set.patch_size, "float32"), refs
+
+    rows = np.asarray([o[0] for o in obs], np.int32)
+    targets = np.stack([refs[o[1]].descriptor for o in obs]).astype(np.float32)
+
+    @jax.jit
+    def run(patches, targets):
+        return _costmap_kernel(patches, targets, loss, interp.l2_normalize,
+                               compute_cross)
+
+    cost_patches = np.asarray(run(jnp.asarray(pf.patches)[jnp.asarray(rows)],
+                                  jnp.asarray(targets)))
+
+    out_c = 4 if compute_cross else 3
+    cset = FeatureSet(out_c, feature_set.patch_size, "float32")
+    for i, (row, pid, name, p2D_idx) in enumerate(obs):
+        fmap = cset.maps.setdefault(name, FeatureMap(is_sparse=True))
+        fmap.patches[p2D_idx] = FeaturePatch(
+            cost_patches[i], pf.corners[row], pf.scales[row],
+            float(pf.upsampling[row]))
+    logger.info("Costmap extraction: %.3fs (%d patches)", time.time() - t0,
+                len(obs))
+    return cset, refs
+
+
+def costmap_ba(adjuster, reconstruction: Reconstruction,
+               feature_set: FeatureSet, problem_setup=None) -> Dict:
+    """Costmap BA strategy driver (reference: ba/main.py:243-286)."""
+    conf = adjuster.conf
+    interp_feat = InterpolationConfig.from_conf(conf.get("interpolation"))
+    cm_conf = conf.get("costmaps", {})
+    cset, refs = extract_costmaps(reconstruction, feature_set, cm_conf,
+                                  conf.references, interp_feat)
+
+    flags = adjuster._optimizer_flags()
+    packed = pack_ba_problem(reconstruction, problem_setup, **flags)
+    model = packed.cam_model
+    loss = make_loss(conf.optimizer.get("loss"))
+    opts = adjuster._ba_options()
+
+    # costmap interpolation: gradient field, no normalization
+    n_chan = cset.channels
+    interp_cm = InterpolationConfig(
+        mode="BICUBICGRADIENTFIELD" if n_chan == 4 else "POLYGRADIENTFIELD",
+        l2_normalize=False)
+
+    view = FeatureView(cset, _required_from_packed(reconstruction, packed))
+    pf = view.packed
+    O = len(packed.obs_img)
+    rows = np.zeros(O, np.int32)
+    for i in range(O):
+        name = reconstruction.images[int(packed.obs_image_id[i])].name
+        rows[i] = pf.row(name, int(packed.obs_p2D_idx[i]))
+
+    patches = jnp.asarray(pf.patches)
+    corners = jnp.asarray(pf.corners.astype(np.float32))
+    scales = jnp.asarray(pf.scales.astype(np.float32))
+    ups = jnp.asarray(pf.upsampling.astype(np.float32))
+    obs_data = jnp.asarray(rows)
+
+    def residual_fn(qvec, tvec, cam, X, obs_slice):
+        row = obs_slice
+        x_cam = apply_pose(qvec, tvec, X)
+        uv = x_cam[:2] / x_cam[2]
+        xy = img_from_cam(model, cam, uv)
+        pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
+        return interpolate(patches[row], pc[1], pc[0], interp_cm)
+
+    return adjuster._run_ba(reconstruction, packed, residual_fn, obs_data,
+                            loss, opts)
+
+
+def _required_from_packed(reconstruction, packed) -> Dict[str, list]:
+    req: Dict[str, list] = {}
+    for i in range(len(packed.obs_img)):
+        name = reconstruction.images[int(packed.obs_image_id[i])].name
+        req.setdefault(name, []).append(int(packed.obs_p2D_idx[i]))
+    return req
