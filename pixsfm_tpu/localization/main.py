@@ -1,0 +1,568 @@
+"""Query localization: QKA -> PnP -> QBA (reference: pixsfm/localization/main.py).
+
+- ``QueryKeypointAdjuster`` (QKA): refine the query's 2D keypoints against reference
+  descriptors of their matched 3D points before PnP (QueryKeypointOptimizer,
+  query_keypoint_optimizer.h:35-130) — batched fixed-target LM problems.
+- ``QueryBundleAdjuster`` (QBA): refine the query pose (points constant) after PnP
+  (SingleQueryBundleOptimizer, single_query_bundle_optimizer.h:27-170) — one small
+  jitted damped Gauss-Newton over the 6-DoF tangent.
+- ``QueryLocalizer``: reference management (nearest / robust_mean /
+  all_observations / full), unique-inlier selection (min_error per 3D point,
+  main.py:50-77), and the full localize() flow (main.py:414-499).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from copy import deepcopy
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import logger
+from ..base import interpolation_default_conf, solver_default_conf
+from ..base.cameras import Camera
+from ..base.geometry import exp_quat, quat_mul, quat_normalize, quat_to_rotmat
+from ..base.interpolation import InterpolationConfig, interpolate
+from ..base.losses import make_loss
+from ..base.projection import world_to_pixel
+from ..config import merge
+from ..features.featuremaps import FeatureMap, FeatureView, kDensePatchId
+from ..ops.lm import LMOptions
+from ..sfm.model import Reconstruction
+
+__all__ = [
+    "QueryKeypointAdjuster", "QueryBundleAdjuster", "QueryLocalizer",
+    "find_unique_inliers", "find_unique_min_reproj_inliers",
+    "compute_reprojection_errors", "find_nearest_references",
+]
+
+
+# ---------------------------------------------------------------------------
+# inlier utilities (reference: localization/main.py:20-86)
+# ---------------------------------------------------------------------------
+
+def compute_reprojection_errors(points2D, points3D, qvec, tvec,
+                                camera: Camera) -> np.ndarray:
+    X = np.asarray(points3D, np.float64).reshape(-1, 3)
+    proj = np.asarray(world_to_pixel(
+        camera.model, jnp.asarray(camera.params), jnp.asarray(qvec),
+        jnp.asarray(tvec), jnp.asarray(X)))
+    R = np.asarray(quat_to_rotmat(jnp.asarray(
+        np.asarray(qvec) / np.linalg.norm(qvec))))
+    depths = (R @ X.T).T[:, 2] + np.asarray(tvec)[2]
+    err = np.linalg.norm(proj - np.asarray(points2D).reshape(-1, 2), axis=1)
+    err[depths <= 0] = np.inf
+    return err
+
+
+def find_unique_inliers(idxs, pre_inliers=None) -> List[bool]:
+    unique = [False] * len(idxs)
+    seen = set()
+    for i, idx in enumerate(idxs):
+        if pre_inliers is not None and not pre_inliers[i]:
+            continue
+        if idx not in seen:
+            seen.add(idx)
+            unique[i] = True
+    return unique
+
+
+def _unique_min_by_group(errors, idxs, pre_inliers=None) -> List[bool]:
+    if pre_inliers is None:
+        pre_inliers = [True] * len(idxs)
+    by_group = defaultdict(list)
+    for i, (gid, err) in enumerate(zip(idxs, errors)):
+        if pre_inliers[i]:
+            by_group[gid].append((i, err))
+    keep = [min(v, key=lambda t: t[1])[0] for v in by_group.values()]
+    out = np.zeros(len(idxs), bool)
+    out[keep] = True
+    return list(out)
+
+
+def find_unique_min_reproj_inliers(points3D_id, qvec, tvec, camera,
+                                   points2D, points3D, pre_inliers=None,
+                                   point2D_idxs=None) -> List[bool]:
+    errors = compute_reprojection_errors(points2D, points3D, qvec, tvec,
+                                         camera)
+    inliers = pre_inliers
+    for idxs in (points3D_id, point2D_idxs):
+        if idxs is None:
+            continue
+        inliers = _unique_min_by_group(errors, idxs, pre_inliers=inliers)
+    return inliers
+
+
+# ---------------------------------------------------------------------------
+# query featuremap packing
+# ---------------------------------------------------------------------------
+
+def _pack_query_fmap(fmap: FeatureMap):
+    """FeatureMap -> (patches [N,ps,ps,C], meta arrays, {p2D_idx -> row})."""
+    ids = sorted(fmap.patches.keys())
+    patches = np.stack([fmap.patches[i].data for i in ids])
+    corners = np.stack([fmap.patches[i].corner for i in ids]).astype(
+        np.float32)
+    scales = np.stack([fmap.patches[i].scale for i in ids]).astype(np.float32)
+    ups = np.asarray([fmap.patches[i].upsampling_factor for i in ids],
+                     np.float32)
+    row_of = {int(i): r for r, i in enumerate(ids)}
+    return patches, corners, scales, ups, row_of
+
+
+def _rows_for(fmap: FeatureMap, row_of, point2D_idxs):
+    if fmap.is_dense:
+        return np.asarray([row_of[kDensePatchId]] * len(point2D_idxs),
+                          np.int32)
+    return np.asarray([row_of[int(i)] for i in point2D_idxs], np.int32)
+
+
+def find_nearest_references(query_fmap: FeatureMap, references: Dict,
+                            points2D, points3D_id,
+                            interp: InterpolationConfig,
+                            patch_idxs=None) -> List[np.ndarray]:
+    """Per correspondence: the stored track-observation descriptor closest to the
+    query descriptor at the current keypoint (reference:
+    localization/src/nearest_references.h:20-52)."""
+    patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
+    rows = _rows_for(query_fmap, row_of,
+                     patch_idxs if patch_idxs is not None
+                     else range(len(points2D)))
+    kp = np.asarray(points2D, np.float32)
+    pc = (kp * scales[rows] - 0.5 - corners[rows]) * ups[rows][:, None]
+
+    pj = jnp.asarray(patches)
+
+    @jax.jit
+    def q_desc(rows, r, c):
+        return jax.vmap(lambda row, rr, cc: interpolate(
+            pj[row], rr, cc, interp).reshape(-1))(rows, r, c)
+
+    qd = np.asarray(q_desc(jnp.asarray(rows), jnp.asarray(pc[:, 1]),
+                           jnp.asarray(pc[:, 0])))
+    out = []
+    for i, pid in enumerate(points3D_id):
+        ref = references[pid]
+        if ref.track_descriptors is None:
+            out.append(ref.descriptor)
+            continue
+        d2 = np.sum((ref.track_descriptors - qd[i]) ** 2, axis=1)
+        out.append(ref.track_descriptors[int(np.argmin(d2))])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# QKA
+# ---------------------------------------------------------------------------
+
+class QueryKeypointAdjuster:
+    """QKA (reference: localization/main.py:89-192)."""
+
+    default_conf = {
+        "apply": True,
+        "feature_inlier_thresh": -1,
+        "interpolation": interpolation_default_conf,
+        "level_indices": None,
+        "stack_correspondences": False,
+        "optimizer": {
+            "loss": {"name": "trivial", "params": []},
+            "solver": {**solver_default_conf, "parameter_tolerance": 1.0e-5},
+            "print_summary": False,
+            "bound": 4.0,
+        },
+    }
+
+    def __init__(self, conf=None):
+        self.conf = merge(self.default_conf, conf or {})
+
+    def refine(self, keypoints: np.ndarray, query_fmap: FeatureMap,
+               references: List, point2D_idxs: Sequence[int]) -> Dict:
+        """Refine ``keypoints`` (modified in place) of the correspondences."""
+        from ..keypoint_adjustment.solver import solve_target_problems
+
+        interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
+        opt = self.conf.optimizer
+        loss = make_loss(opt.get("loss"))
+        lm_opts = LMOptions.from_solver_conf(opt.get("solver"))
+        bound = float(opt.get("bound", 4.0))
+
+        patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
+        ps = patches.shape[1]
+
+        if self.conf.get("stack_correspondences"):
+            kp_map: Dict[int, List[int]] = defaultdict(list)
+            for i, p2D in enumerate(point2D_idxs):
+                kp_map[int(p2D)].append(i)
+            uniq = sorted(kp_map.keys())
+            T = max(len(v) for v in kp_map.values())
+            n = len(uniq)
+            kp0 = np.stack([
+                keypoints[kp_map[u][0]] for u in uniq]).astype(np.float64)
+            targets = np.zeros((n, T, len(references[0])), np.float32)
+            tw = np.zeros((n, T), np.float32)
+            rows = _rows_for(query_fmap, row_of, uniq)
+            for j, u in enumerate(uniq):
+                for t, i in enumerate(kp_map[u]):
+                    targets[j, t] = references[i]
+                    tw[j, t] = 1.0
+        else:
+            n = len(point2D_idxs)
+            uniq = None
+            kp0 = np.asarray(keypoints, np.float64).copy()
+            rows = _rows_for(query_fmap, row_of, point2D_idxs)
+            refs = [np.asarray(r) for r in references]
+            T = max(1, max((r.reshape(-1, refs[0].shape[-1]).shape[0]
+                            if r.ndim > 1 else 1) for r in refs))
+            D = refs[0].reshape(-1)[-1:].shape  # noqa
+            C = refs[0].reshape(-1).shape[0] if refs[0].ndim == 1 \
+                else refs[0].shape[-1]
+            targets = np.zeros((n, T, C), np.float32)
+            tw = np.zeros((n, T), np.float32)
+            for i, r in enumerate(refs):
+                r2 = r.reshape(-1, C)
+                targets[i, :len(r2)] = r2
+                tw[i, :len(r2)] = 1.0
+
+        corner = corners[rows]
+        scale = scales[rows]
+        up = ups[rows]
+        lo = (corner + 0.5) / scale
+        hi = lo + ps / scale
+        if bound > 0:
+            lo = np.maximum(lo, kp0 - bound / scale)
+            hi = np.minimum(hi, kp0 + bound / scale)
+
+        kp_new, summary = solve_target_problems(
+            kp0, rows, corner, scale, up, targets, tw, lo, hi, patches,
+            interp, loss, lm_opts)
+
+        if uniq is not None:
+            for j, u in enumerate(uniq):
+                for i in kp_map[u]:
+                    keypoints[i] = kp_new[j]
+        else:
+            keypoints[:] = kp_new
+        return summary
+
+    def refine_multilevel(self, keypoints, query_fmaps, query_references,
+                          point2D_idxs) -> Dict:
+        levels = self.conf.get("level_indices")
+        if levels in (None, "all"):
+            levels = list(reversed(range(len(query_fmaps))))
+        out = {}
+        for level in levels:
+            s = self.refine(keypoints, query_fmaps[level],
+                            query_references[level], point2D_idxs)
+            for k, v in s.items():
+                out.setdefault(k, []).append(v)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# QBA
+# ---------------------------------------------------------------------------
+
+class QueryBundleAdjuster:
+    """Pose-only featuremetric refinement (reference: localization/main.py:194-258
+    + single_query_bundle_optimizer.h:27-170)."""
+
+    default_conf = {
+        "apply": True,
+        "interpolation": interpolation_default_conf,
+        "level_indices": None,
+        "optimizer": {
+            "loss": {"name": "cauchy", "params": [0.25]},
+            "solver": {**solver_default_conf, "parameter_tolerance": 0.0,
+                       "use_nonmonotonic_steps": False},
+            "print_summary": False,
+            "refine_focal_length": False,
+            "refine_principal_point": False,
+            "refine_extra_params": False,
+        },
+    }
+
+    def __init__(self, conf=None):
+        self.conf = merge(self.default_conf, conf or {})
+
+    def refine(self, qvec, tvec, camera: Camera, points3D, query_fmap,
+               references, inliers=None, point2D_idxs=None) -> Dict:
+        interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
+        opt = self.conf.optimizer
+        loss = make_loss(opt.get("loss"))
+        max_iters = int(opt.solver.get("max_num_iterations", 100))
+
+        n = len(points3D)
+        if inliers is None:
+            inliers = [True] * n
+        sel = [i for i in range(n) if inliers[i]]
+        if not sel:
+            return dict(qvec=qvec, tvec=tvec, skipped=True)
+
+        patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
+        rows = _rows_for(query_fmap, row_of,
+                         [point2D_idxs[i] for i in sel]
+                         if point2D_idxs is not None else sel)
+        X = np.asarray([points3D[i] for i in sel], np.float32)
+        refs = [np.asarray(references[i], np.float32) for i in sel]
+        C = refs[0].reshape(-1, refs[0].shape[-1]).shape[-1] \
+            if refs[0].ndim > 1 else refs[0].shape[0]
+        T = max(1, max(r.reshape(-1, C).shape[0] for r in refs))
+        targets = np.zeros((len(sel), T, C), np.float32)
+        tw = np.zeros((len(sel), T), np.float32)
+        for i, r in enumerate(refs):
+            r2 = r.reshape(-1, C)
+            targets[i, :len(r2)] = r2
+            tw[i, :len(r2)] = 1.0
+
+        pj = jnp.asarray(patches)
+        cj = jnp.asarray(corners)[rows]
+        sj = jnp.asarray(scales)[rows]
+        uj = jnp.asarray(ups)[rows]
+        rj = jnp.asarray(rows)
+        Xj = jnp.asarray(X)
+        tj = jnp.asarray(targets)
+        twj = jnp.asarray(tw)
+        cam_params = jnp.asarray(camera.params, jnp.float32)
+        model = camera.model
+
+        def residual_cost(d, q0, t0):
+            q = quat_normalize(quat_mul(exp_quat(d[:3]), q0))
+            t = t0 + d[3:]
+
+            def per_corr(row, corner, scale, up, Xi, tgt, w):
+                xy = world_to_pixel(model, cam_params, q, t, Xi)
+                pc = (xy * scale - 0.5 - corner) * up
+                f = interpolate(pj[row], pc[1], pc[0], interp)
+                r = f[None, :] - tgt                      # [T, C]
+                s = jnp.sum(r * r, axis=-1)
+                return jnp.sum(w * loss(s))
+
+            costs = jax.vmap(per_corr)(rj, cj, sj, uj, Xj, tj, twj)
+            return 0.5 * jnp.sum(costs)
+
+        @jax.jit
+        def run(q0, t0):
+            def body(carry, _):
+                q, t, lam, cost = carry
+                zero = jnp.zeros(6, jnp.float32)
+                g = jax.grad(residual_cost)(zero, q, t)
+                H = jax.hessian(residual_cost)(zero, q, t)
+                D = jnp.clip(jnp.diag(H), 1e-8, 1e32)
+                d = -jnp.linalg.solve(H + lam * jnp.diag(D)
+                                      + 1e-8 * jnp.eye(6), g)
+                q_new = quat_normalize(quat_mul(exp_quat(d[:3]), q))
+                t_new = t + d[3:]
+                new_cost = residual_cost(zero, q_new, t_new)
+                accept = new_cost < cost
+                return (jnp.where(accept, q_new, q),
+                        jnp.where(accept, t_new, t),
+                        jnp.where(accept, lam / 3.0, lam * 4.0),
+                        jnp.where(accept, new_cost, cost)), None
+
+            zero = jnp.zeros(6, jnp.float32)
+            cost0 = residual_cost(zero, q0, t0)
+            (q, t, _, cost), _ = jax.lax.scan(
+                body, (q0, t0, jnp.asarray(1e-4, jnp.float32), cost0),
+                None, length=max_iters)
+            return q, t, cost0, cost
+
+        q, t, c0, c1 = run(jnp.asarray(qvec, jnp.float32),
+                           jnp.asarray(tvec, jnp.float32))
+        return dict(qvec=np.asarray(q, np.float64),
+                    tvec=np.asarray(t, np.float64),
+                    initial_cost=float(c0), final_cost=float(c1))
+
+    def refine_multilevel(self, qvec, tvec, camera, points3D, query_fmaps,
+                          query_references, inliers=None,
+                          point2D_idxs=None) -> Dict:
+        levels = self.conf.get("level_indices")
+        if levels in (None, "all"):
+            levels = list(reversed(range(len(query_fmaps))))
+        out: Dict = {"qvec": qvec, "tvec": tvec}
+        for level in levels:
+            s = self.refine(out["qvec"], out["tvec"], camera, points3D,
+                            query_fmaps[level], query_references[level],
+                            inliers=inliers, point2D_idxs=point2D_idxs)
+            out.update({k: v for k, v in s.items()})
+        return out
+
+
+# ---------------------------------------------------------------------------
+# QueryLocalizer
+# ---------------------------------------------------------------------------
+
+class QueryLocalizer:
+    """Full localization flow (reference: localization/main.py:261-537)."""
+
+    default_conf = {
+        "dense_features": {},
+        "overwrite_features_sparse": None,
+        "interpolation": interpolation_default_conf,
+        "target_reference": "nearest",
+        "unique_inliers": "min_error",
+        "references": {
+            "loss": {"name": "cauchy", "params": [0.25]},
+            "iters": 100,
+            "keep_observations": True,
+            "compute_offsets3D": False,
+            "num_threads": -1,
+        },
+        "max_tracks_per_problem": 50,
+        "QKA": QueryKeypointAdjuster.default_conf,
+        "PnP": {"estimation": {"ransac": {"max_error": 12}},
+                "refinement": {}},
+        "QBA": QueryBundleAdjuster.default_conf,
+    }
+
+    def __init__(self, reconstruction: Reconstruction, conf=None,
+                 dense_features=None, image_dir=None, references=None,
+                 extractor=None):
+        conf = conf or {}
+        if "localization" in conf:
+            conf = conf["localization"]
+        self.conf = merge(self.default_conf, conf)
+        self.reconstruction = reconstruction
+        self.extractor = extractor
+        self.qka = QueryKeypointAdjuster(self.conf.QKA)
+        self.qba = QueryBundleAdjuster(self.conf.QBA)
+        self.interp = InterpolationConfig.from_conf(
+            self.conf.get("interpolation"))
+
+        self.target_reference_funcs = {
+            "nearest": self._nearest_refs,
+            "robust_mean": self._robust_mean_refs,
+            "all_observations": self._all_obs_refs,
+            "full": self._full_refs,
+        }
+        self.get_query_references = \
+            self.target_reference_funcs[self.conf.target_reference]
+
+        self.references = references
+        if self.references is None and (self.conf.QKA.apply
+                                        or self.conf.QBA.apply):
+            from ..bundle_adjustment.references import extract_references
+            if dense_features is None:
+                if image_dir is None:
+                    raise ValueError(
+                        "need dense_features or image_dir to build references")
+                from ..extract import features_from_reconstruction
+                if self.extractor is None:
+                    from ..features.extractor import FeatureExtractor
+                    self.extractor = FeatureExtractor(
+                        self.conf.dense_features)
+                dense_features = features_from_reconstruction(
+                    self.extractor, reconstruction, image_dir)
+            elif isinstance(dense_features, (str, Path)):
+                from ..features.featuremaps import FeatureManager
+                dense_features = FeatureManager.from_cache(dense_features)
+            self.references = []
+            for lvl in range(dense_features.num_levels):
+                fset = dense_features.fset(lvl)
+                view = FeatureView.from_reconstruction(fset, reconstruction)
+                self.references.append(extract_references(
+                    reconstruction, fset, view, self.conf.references,
+                    self.interp))
+
+    # -- reference modes ----------------------------------------------------
+    def _nearest_refs(self, p3D_ids, query_fmaps, points2D, patch_idxs):
+        return [find_nearest_references(query_fmaps[lvl],
+                                        self.references[lvl], points2D,
+                                        p3D_ids, self.interp,
+                                        patch_idxs=patch_idxs)
+                for lvl in range(len(self.references))]
+
+    def _robust_mean_refs(self, p3D_ids, *args):
+        return [[refs[p].descriptor for p in p3D_ids]
+                for refs in self.references]
+
+    def _all_obs_refs(self, p3D_ids, *args):
+        out = []
+        for refs in self.references:
+            level = []
+            for p in p3D_ids:
+                if refs[p].track_descriptors is None:
+                    raise RuntimeError(
+                        "references.keep_observations must be True for "
+                        "all_observations mode")
+                level.append(refs[p].track_descriptors)
+            out.append(level)
+        return out
+
+    def _full_refs(self, p3D_ids, *args):
+        return [[refs[p] for p in p3D_ids] for refs in self.references]
+
+    # -- main entry ---------------------------------------------------------
+    def localize(self, keypoints: np.ndarray, pnp_point2D_idxs,
+                 pnp_points3D_id, query_camera: Camera, image_path=None,
+                 query_fmaps=None) -> Dict:
+        from .pnp import absolute_pose_estimation
+
+        if len(pnp_point2D_idxs) == 0:
+            return {"success": False}
+        assert len(pnp_point2D_idxs) == len(pnp_points3D_id)
+        keypoints = np.array(keypoints, np.float64)
+        pnp_points3D = [self.reconstruction.points3D[p].xyz
+                        for p in pnp_points3D_id]
+
+        require_feats = self.conf.QKA.apply or self.conf.QBA.apply
+        if query_fmaps is None and require_feats:
+            if self.extractor is None:
+                from ..features.extractor import FeatureExtractor
+                self.extractor = FeatureExtractor(self.conf.dense_features)
+            required = sorted(set(int(i) for i in pnp_point2D_idxs))
+            query_fmaps = self.extractor(
+                image_path, keypoints=keypoints[required],
+                keypoint_ids=required,
+                overwrite_sparse=self.conf.get("overwrite_features_sparse"))
+
+        pnp_points2D = keypoints[np.asarray(pnp_point2D_idxs, np.int64)]
+        if require_feats:
+            query_references = self.get_query_references(
+                pnp_points3D_id, query_fmaps, pnp_points2D, pnp_point2D_idxs)
+
+        if self.conf.QKA.apply:
+            self.qka.refine_multilevel(pnp_points2D, query_fmaps,
+                                       query_references,
+                                       point2D_idxs=pnp_point2D_idxs)
+
+        logger.info("Running PnP with %d correspondences.",
+                    len(pnp_points2D))
+        max_error = float(self.conf.PnP.estimation.ransac.max_error)
+        pose_dict = absolute_pose_estimation(
+            pnp_points2D, np.asarray(pnp_points3D), query_camera,
+            max_error_px=max_error)
+        if not pose_dict["success"]:
+            return pose_dict
+
+        inliers = pose_dict["inliers"]
+        mode = self.conf.get("unique_inliers")
+        if mode == "random":
+            inliers = find_unique_inliers(pnp_points3D_id,
+                                          pre_inliers=inliers)
+        elif mode == "min_error":
+            inliers = find_unique_min_reproj_inliers(
+                pnp_points3D_id, pose_dict["qvec"], pose_dict["tvec"],
+                query_camera, pnp_points2D, pnp_points3D,
+                pre_inliers=inliers, point2D_idxs=pnp_point2D_idxs)
+        elif mode:
+            logger.warning("Unknown unique_inlier method %s", mode)
+
+        if self.conf.QBA.apply:
+            out = self.qba.refine_multilevel(
+                pose_dict["qvec"], pose_dict["tvec"], query_camera,
+                pnp_points3D, query_fmaps, query_references,
+                inliers=inliers, point2D_idxs=pnp_point2D_idxs)
+            pose_dict["qvec"] = out["qvec"]
+            pose_dict["tvec"] = out["tvec"]
+
+        errors = compute_reprojection_errors(
+            pnp_points2D, pnp_points3D, pose_dict["qvec"],
+            pose_dict["tvec"], query_camera)
+        pose_dict["inliers"] = [bool(e < max_error) for e in errors]
+        pose_dict["num_inliers"] = int(np.sum(pose_dict["inliers"]))
+        return pose_dict

@@ -1,0 +1,162 @@
+"""Absolute pose estimation (PnP + RANSAC + nonlinear refinement).
+
+The reference calls ``pycolmap.absolute_pose_estimation`` (P3P/EPnP + RANSAC + Ceres
+refinement; reference pixsfm/localization/main.py:458-461). pycolmap is unavailable
+here, so this module provides a standalone equivalent: RANSAC over minimal DLT
+samples on normalized rays, inlier scoring by reprojection error, and a final
+damped Gauss-Newton pose refinement on the inliers (jit-compiled, pose-only).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base.cameras import Camera
+from ..base.geometry import exp_quat, quat_mul, quat_normalize, quat_to_rotmat, \
+    rotmat_to_quat
+from ..base.projection import world_to_pixel
+
+__all__ = ["absolute_pose_estimation", "pose_refinement"]
+
+
+def _dlt_pose(uv: np.ndarray, X: np.ndarray):
+    """[R|t] from >=6 normalized 2D rays + 3D points via DLT; R projected to
+    SO(3). Returns (R, t) or None."""
+    n = len(uv)
+    A = np.zeros((2 * n, 12))
+    for i in range(n):
+        x, y = uv[i]
+        Xh = np.append(X[i], 1.0)
+        A[2 * i, 0:4] = Xh
+        A[2 * i, 8:12] = -x * Xh
+        A[2 * i + 1, 4:8] = Xh
+        A[2 * i + 1, 8:12] = -y * Xh
+    _, _, Vt = np.linalg.svd(A)
+    P = Vt[-1].reshape(3, 4)
+    # cheirality: pick the homogeneous sign making projective depths positive
+    Xh = np.hstack([X, np.ones((n, 1))])
+    if np.median(Xh @ P[2]) < 0:
+        P = -P
+    M = P[:, :3]
+    U, S, Vt2 = np.linalg.svd(M)
+    if S.min() < 1e-10 * max(S.max(), 1e-12):
+        return None
+    R = U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt2)]) @ Vt2
+    t = P[:, 3] / S.mean()
+    return R, t
+
+
+def _reproj_errors(camera: Camera, qvec, tvec, X, xy):
+    import jax.numpy as jnp
+    proj = np.asarray(world_to_pixel(camera.model, jnp.asarray(camera.params),
+                                     jnp.asarray(qvec), jnp.asarray(tvec),
+                                     jnp.asarray(X)))
+    depths = (np.asarray(quat_to_rotmat(jnp.asarray(qvec))) @ X.T).T[:, 2] \
+        + tvec[2]
+    err = np.linalg.norm(proj - xy, axis=1)
+    err[depths <= 0] = np.inf
+    return err
+
+
+def pose_refinement(camera: Camera, qvec, tvec, X, xy,
+                    iters: int = 30) -> Dict:
+    """Pose-only damped Gauss-Newton on reprojection error (refinement stage of
+    pycolmap.absolute_pose_estimation)."""
+    Xj = jnp.asarray(X, jnp.float32)
+    xyj = jnp.asarray(xy, jnp.float32)
+    params = jnp.asarray(camera.params, jnp.float32)
+    model = camera.model
+
+    def residuals(d, q0, t0):
+        q = quat_normalize(quat_mul(exp_quat(d[:3]), q0))
+        t = t0 + d[3:]
+        proj = world_to_pixel(model, params, q, t, Xj)
+        return (proj - xyj).reshape(-1)
+
+    @jax.jit
+    def run(q0, t0):
+        def body(carry, _):
+            q, t, lam, cost = carry
+            zero = jnp.zeros(6, jnp.float32)
+            r = residuals(zero, q, t)
+            J = jax.jacfwd(residuals)(zero, q, t)
+            H = J.T @ J
+            g = J.T @ r
+            D = jnp.clip(jnp.diag(H), 1e-8, 1e32)
+            d = -jnp.linalg.solve(H + lam * jnp.diag(D), g)
+            q_new = quat_normalize(quat_mul(exp_quat(d[:3]), q))
+            t_new = t + d[3:]
+            new_cost = 0.5 * jnp.sum(
+                residuals(zero, q_new, t_new) ** 2)
+            accept = new_cost < cost
+            q = jnp.where(accept, q_new, q)
+            t = jnp.where(accept, t_new, t)
+            lam = jnp.where(accept, lam * 0.33, lam * 4.0)
+            cost = jnp.where(accept, new_cost, cost)
+            return (q, t, lam, cost), None
+
+        zero = jnp.zeros(6, jnp.float32)
+        cost0 = 0.5 * jnp.sum(residuals(zero, q0, t0) ** 2)
+        (q, t, _, cost), _ = jax.lax.scan(
+            body, (q0, t0, jnp.asarray(1e-3, jnp.float32), cost0),
+            None, length=iters)
+        return q, t, cost
+
+    q, t, cost = run(jnp.asarray(qvec, jnp.float32),
+                     jnp.asarray(tvec, jnp.float32))
+    return dict(qvec=np.asarray(q, np.float64),
+                tvec=np.asarray(t, np.float64), cost=float(cost))
+
+
+def absolute_pose_estimation(points2D: np.ndarray, points3D: np.ndarray,
+                             camera: Camera, max_error_px: float = 12.0,
+                             min_inlier_ratio: float = 0.01,
+                             max_iterations: int = 1000,
+                             confidence: float = 0.9999,
+                             seed: int = 0) -> Dict:
+    """RANSAC PnP. Returns {success, qvec, tvec, num_inliers, inliers}."""
+    xy = np.asarray(points2D, np.float64).reshape(-1, 2)
+    X = np.asarray(points3D, np.float64).reshape(-1, 3)
+    n = len(xy)
+    if n < 6:
+        return dict(success=False, num_inliers=0, inliers=np.zeros(n, bool))
+
+    uv = camera.cam_from_img(xy)
+
+    rng = np.random.default_rng(seed)
+    best = dict(num_inliers=0, inliers=np.zeros(n, bool), qvec=None,
+                tvec=None)
+    it = 0
+    max_iter = max_iterations
+    while it < max_iter:
+        it += 1
+        sample = rng.choice(n, 6, replace=False)
+        sol = _dlt_pose(uv[sample], X[sample])
+        if sol is None:
+            continue
+        R, t = sol
+        qvec = np.asarray(rotmat_to_quat(jnp.asarray(R)))
+        err = _reproj_errors(camera, qvec, t, X, xy)
+        inl = err < max_error_px
+        ni = int(inl.sum())
+        if ni > best["num_inliers"]:
+            best = dict(num_inliers=ni, inliers=inl, qvec=qvec, tvec=t)
+            # adaptive iteration count
+            ratio = max(ni / n, min_inlier_ratio)
+            denom = np.log(max(1.0 - ratio ** 6, 1e-12))
+            if denom < 0:
+                max_iter = min(max_iterations,
+                               int(np.ceil(np.log(1 - confidence) / denom)))
+    if best["num_inliers"] < 6:
+        return dict(success=False, num_inliers=0, inliers=np.zeros(n, bool))
+
+    inl = best["inliers"]
+    ref = pose_refinement(camera, best["qvec"], best["tvec"], X[inl], xy[inl])
+    err = _reproj_errors(camera, ref["qvec"], ref["tvec"], X, xy)
+    inl = err < max_error_px
+    return dict(success=True, qvec=ref["qvec"], tvec=ref["tvec"],
+                num_inliers=int(inl.sum()), inliers=inl)
