@@ -1,0 +1,107 @@
+"""Benchmark: featuremetric KA solver throughput on the TPU.
+
+Workload: a synthetic batch of KA subproblems shaped like an ETH3D scene slice
+(problems of <=48 keypoints, 128-channel bf16 patches, bicubic interpolation,
+Cauchy loss, bounded LM) — the reference's hottest path
+(featuremetric_keypoint_optimizer.h + Ceres autodiff + AVX2 spline; the
+published pipeline spends most of its refinement time here).
+
+Metric: keypoints refined per second (full LM solve to the default 100-iteration
+cap / convergence). ``vs_baseline`` compares against the same program run on the
+host CPU (single process, all cores) — the stand-in for the reference's CPU
+solver stack, measured fresh on this machine each run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_workload(P=192, K=48, E=96, C=128, ps=16, seed=0):
+    """Synthetic padded KA problems + packed patches."""
+    rng = np.random.default_rng(seed)
+    n_patches = P * K
+    field = rng.normal(0, 1, (ps, ps, C)).astype(np.float32)
+    patches = (field[None] + 0.05 * rng.normal(
+        0, 1, (n_patches, ps, ps, C))).astype("bfloat16")
+
+    from pixsfm_tpu.keypoint_adjustment.solver import KAProblems
+
+    kp0 = rng.uniform(6.0, 10.0, (P, K, 2)).astype(np.float32)
+    corner = np.zeros((P, K, 2), np.float32)
+    scale = np.ones((P, K, 2), np.float32)
+    ups = np.ones((P, K), np.float32)
+    kp_free = np.ones((P, K), bool)
+    kp_free[:, 0] = False  # roots constant
+    kp_valid = np.ones((P, K), bool)
+    edge_i = rng.integers(0, K, (P, E)).astype(np.int32)
+    edge_j = ((edge_i + rng.integers(1, K, (P, E))) % K).astype(np.int32)
+    edge_w = np.ones((P, E), np.float32)
+    patch_row = np.arange(n_patches, dtype=np.int32).reshape(P, K)
+    lower = kp0 - 4.0
+    upper = kp0 + 4.0
+    problems = KAProblems(kp0, patch_row, corner, scale, ups, kp_free,
+                          kp_valid, edge_i, edge_j, edge_w, lower, upper,
+                          np.zeros(1, np.int64), np.zeros(1, np.int64),
+                          np.zeros(1, np.int64))
+    return problems, patches
+
+
+def run_once(problems, patches, chunk, max_iters=100):
+    from pixsfm_tpu.base.interpolation import InterpolationConfig
+    from pixsfm_tpu.base.losses import RobustLoss
+    from pixsfm_tpu.keypoint_adjustment.solver import solve_ka_problems
+    from pixsfm_tpu.ops.lm import LMOptions
+
+    interp = InterpolationConfig(mode="BICUBIC", l2_normalize=True)
+    loss = RobustLoss("cauchy", [0.25])
+    opts = LMOptions(max_iterations=max_iters, parameter_tolerance=1e-5)
+    return solve_ka_problems(problems, patches, interp, loss, opts,
+                             chunk=chunk)
+
+
+def bench_backend(problems, patches, chunk, repeats=3):
+    # warmup (compile)
+    run_once(problems, patches, chunk, max_iters=2)
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        run_once(problems, patches, chunk)
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def main():
+    import jax
+
+    P, K = 192, 48
+    problems, patches = build_workload(P=P, K=K)
+    n_kps = int(problems.kp_valid.sum())
+
+    # TPU (default backend)
+    t_tpu = bench_backend(problems, patches, chunk=64)
+    tpu_kps_per_s = n_kps / t_tpu
+
+    # CPU baseline: smaller slice, extrapolated linearly
+    cpu_P = 16
+    sub, _ = build_workload(P=cpu_P, K=K)
+    sub_patches = patches[:cpu_P * K]
+    cpu_dev = jax.devices("cpu")[0]
+    with jax.default_device(cpu_dev):
+        t_cpu_slice = bench_backend(sub, sub_patches, chunk=16, repeats=1)
+    cpu_kps_per_s = int(sub.kp_valid.sum()) / t_cpu_slice
+
+    print(json.dumps({
+        "metric": "ka_featuremetric_keypoints_per_s",
+        "value": round(tpu_kps_per_s, 1),
+        "unit": "keypoints/s (P=%d,K=%d,C=128,ps=16,bf16,100-iter LM)"
+                % (P, K),
+        "vs_baseline": round(tpu_kps_per_s / cpu_kps_per_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

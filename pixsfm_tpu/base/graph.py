@@ -132,9 +132,14 @@ def compute_track_labels(graph: Graph) -> np.ndarray:
     """Maximum-similarity spanning forest; merges rejected if the two components
     share an image (one keypoint per image per track). Reference: graph.cc:126-206.
     Track ids are assigned in node order of the forest roots (parity with the
-    reference's labeling pass)."""
+    reference's labeling pass). Uses the native C++ core when built."""
     n = graph.num_nodes
     src, dst, sim = graph.edges_array()
+
+    from .. import native
+    if native.available() and n:
+        ids, _ = graph.nodes_array()
+        return native.compute_track_labels_native(src, dst, sim, ids)
     # Reference sorts edge tuples (sim, src, dst) descending; replicate exactly.
     order = np.lexsort((dst, src, sim))[::-1]
 
@@ -170,8 +175,12 @@ def compute_track_labels(graph: Graph) -> np.ndarray:
 
 def compute_score_labels(graph: Graph, track_labels: np.ndarray) -> np.ndarray:
     """Sum of intra-track edge similarities per node. Reference: graph.cc:208-223."""
-    scores = np.zeros(graph.num_nodes)
+    from .. import native
     src, dst, sim = graph.edges_array()
+    if native.available() and graph.num_nodes:
+        return native.compute_score_labels_native(graph.num_nodes, src, dst,
+                                                  sim, track_labels)
+    scores = np.zeros(graph.num_nodes)
     same = track_labels[src] == track_labels[dst]
     np.add.at(scores, src[same], sim[same])
     np.add.at(scores, dst[same], sim[same])
@@ -182,6 +191,9 @@ def compute_root_labels(graph: Graph, track_labels: np.ndarray,
                         score_labels: np.ndarray) -> np.ndarray:
     """Boolean mask: top-score node per track (stable by descending score then node
     order — parity with the reference's sort, graph.cc:225-256)."""
+    from .. import native
+    if native.available() and graph.num_nodes:
+        return native.compute_root_labels_native(track_labels, score_labels)
     n = graph.num_nodes
     # reference sorts (score, node_idx) descending: larger node_idx wins ties.
     order = np.lexsort((np.arange(n), score_labels))[::-1]

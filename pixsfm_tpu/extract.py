@@ -1,0 +1,117 @@
+"""Feature extraction orchestration (reference: pixsfm/extract.py).
+
+- ``features_from_graph``: extract patches only at matched keypoints (KA input,
+  extract.py:197-215).
+- ``features_from_reconstruction``: extract at *reprojected* triangulated
+  observations (BA input, extract.py:153-194).
+- ``features_from_image_list``: the shared per-image loop with optional H5 cache
+  append (extract.py:58-150) — the cache doubles as a resume point: if it exists
+  and ``overwrite_cache`` is false, extraction is skipped (extract.py:75-81).
+- ``load_features_from_cache``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import logger
+from .features.extractor import FeatureExtractor
+from .features.featuremaps import FeatureManager, FeatureMap
+from .features.h5cache import init_cache, write_featuremap
+from .sfm.model import Reconstruction
+
+__all__ = [
+    "features_from_graph", "features_from_reconstruction",
+    "features_from_image_list", "load_features_from_cache",
+]
+
+
+def load_features_from_cache(cache_path) -> FeatureManager:
+    return FeatureManager.from_cache(Path(cache_path))
+
+
+def features_from_image_list(extractor: FeatureExtractor, image_list,
+                             image_dir,
+                             keypoints_per_image: Dict[str, np.ndarray],
+                             keypoint_ids_per_image: Optional[Dict] = None,
+                             cache_path=None) -> FeatureManager:
+    image_dir = Path(image_dir)
+    use_cache = bool(extractor.conf.use_cache) and cache_path is not None
+    if use_cache:
+        cache_path = Path(cache_path)
+        if cache_path.exists() and not extractor.conf.overwrite_cache:
+            logger.info("Loading features from existing cache %s", cache_path)
+            return FeatureManager.from_cache(cache_path)
+
+    channels = extractor.channels_per_level
+    manager = FeatureManager(channels, int(extractor.conf.patch_size),
+                             str(extractor.conf.dtype),
+                             h5_path=cache_path if use_cache else None)
+    if use_cache:
+        init_cache(cache_path, channels, int(extractor.conf.patch_size),
+                   str(extractor.conf.dtype), overwrite=True)
+
+    for image_name in image_list:
+        kps = keypoints_per_image.get(image_name)
+        kp_ids = (keypoint_ids_per_image or {}).get(image_name)
+        fmaps = extractor(image_dir / image_name, keypoints=kps,
+                          keypoint_ids=kp_ids, as_dict=True)
+        for level, data in enumerate(fmaps):
+            if use_cache:
+                write_featuremap(
+                    cache_path, f"level_{level}", image_name,
+                    data["patches"], data["keypoint_ids"], data["corners"],
+                    data["metadata"]["scale"],
+                    is_sparse=data["metadata"]["is_sparse"],
+                    cache_format=str(extractor.conf.cache_format))
+            else:
+                scale = data["metadata"]["scale"]
+                fmap = FeatureMap.from_arrays(
+                    data["patches"], data["keypoint_ids"], data["corners"],
+                    scale, is_sparse=data["metadata"]["is_sparse"])
+                manager.fset(level).emplace(image_name, fmap)
+    return manager
+
+
+def features_from_graph(extractor: FeatureExtractor, image_dir, graph,
+                        keypoints_dict: Dict[str, np.ndarray],
+                        cache_path=None) -> FeatureManager:
+    from .keypoint_adjustment.main import extract_patchdata_from_graph
+    patch_data = extract_patchdata_from_graph(graph)
+    kp_per_image = {name: np.asarray(keypoints_dict[name])[ids]
+                    for name, ids in patch_data.items()}
+    return features_from_image_list(
+        extractor, sorted(patch_data.keys()), image_dir, kp_per_image,
+        keypoint_ids_per_image=patch_data, cache_path=cache_path)
+
+
+def features_from_reconstruction(extractor: FeatureExtractor,
+                                 reconstruction: Reconstruction, image_dir,
+                                 cache_path=None) -> FeatureManager:
+    """Extract at reprojected locations of triangulated observations only
+    (reference: extract.py:153-194)."""
+    kp_per_image: Dict[str, np.ndarray] = {}
+    ids_per_image: Dict[str, List[int]] = {}
+    for im in reconstruction.images.values():
+        if not im.registered:
+            continue
+        cam = reconstruction.cameras[im.camera_id]
+        ids, xys = [], []
+        for p2D_idx, pid in enumerate(im.point3D_ids):
+            if pid < 0 or pid not in reconstruction.points3D:
+                continue
+            X = reconstruction.points3D[pid].xyz
+            x_cam = im.world_to_camera(X)[0]
+            if x_cam[2] <= 0:
+                continue
+            xys.append(cam.img_from_cam(x_cam[:2] / x_cam[2]))
+            ids.append(p2D_idx)
+        if ids:
+            kp_per_image[im.name] = np.asarray(xys)
+            ids_per_image[im.name] = ids
+    return features_from_image_list(
+        extractor, sorted(kp_per_image.keys()), image_dir, kp_per_image,
+        keypoint_ids_per_image=ids_per_image, cache_path=cache_path)

@@ -1,0 +1,198 @@
+"""Dense feature extraction driver (reference: pixsfm/features/extractor.py).
+
+Loads images (PIL, LANCZOS resize to ``max_edge``, optional ``fast_image_load``
+draft decoding, ``pyr_scales`` pyramid), runs the Flax feature model (jitted; the
+one device round-trip per image), L2-normalizes, casts to the storage dtype
+(``half`` maps to bfloat16 on TPU, float16 also supported for cache interop), and
+emits featuremaps in the reference's three modes (extractor.py:152-236):
+
+- sparse: per-keypoint ``[ps, ps, C]`` windows, corners clipped to the map;
+- dense: the whole map as one patch under ``kDensePatchId``;
+- dense-stored/sparse-loaded: dense patch + per-keypoint corners for the cache.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import PIL.Image
+
+from .. import logger
+from ..config import merge
+from .featuremaps import (FeatureMap, FeaturePatch, kDensePatchId,
+                          storage_dtype)
+from .models import get_model
+
+__all__ = ["FeatureExtractor", "extract_patches_numpy"]
+
+RESIZE_FILTERS = {
+    "LANCZOS": PIL.Image.LANCZOS,
+    "BILINEAR": PIL.Image.BILINEAR,
+    "BICUBIC": PIL.Image.BICUBIC,
+    "NEAREST": PIL.Image.NEAREST,
+}
+
+
+def extract_patches_numpy(featuremap: np.ndarray, corners: np.ndarray,
+                          ps: int) -> np.ndarray:
+    """Window-gather [H, W, C] -> [N, ps, ps, C] (reference:
+    features/extract_patches.py:14-44)."""
+    out = np.empty((len(corners), ps, ps, featuremap.shape[-1]),
+                   featuremap.dtype)
+    for i, (cx, cy) in enumerate(corners):
+        out[i] = featuremap[cy:cy + ps, cx:cx + ps]
+    return out
+
+
+class FeatureExtractor:
+    default_conf = {
+        "device": "auto",
+        "dtype": "half",
+        "fast_image_load": False,
+        "l2_normalize": True,
+        "max_edge": 1600,
+        "model": {"name": "s2dnet"},
+        "patch_size": 16,
+        "pyr_scales": [1.0],
+        "resize": "LANCZOS",
+        "sparse": True,
+        "use_cache": False,
+        "overwrite_cache": False,
+        "load_cache_on_init": False,
+        "cache_format": "chunked",
+    }
+
+    # "half" storage maps to bfloat16: TPU-native 16-bit with f32 compute
+    # (SURVEY.md §7 half-precision semantics). Use "float16" for byte-exact
+    # interop with reference caches.
+    dtype_map = {"half": "bfloat16", "float16": "float16",
+                 "bfloat16": "bfloat16", "float": "float32",
+                 "float32": "float32", "double": "float64"}
+
+    def __init__(self, conf=None):
+        self.conf = merge(self.default_conf, conf or {})
+        model_conf = self.conf.model.to_dict() \
+            if hasattr(self.conf.model, "to_dict") else dict(self.conf.model)
+        name = model_conf.pop("name", "s2dnet")
+        self.model = get_model(name)(model_conf)
+        self.storage_dtype = self.dtype_map[str(self.conf.dtype)]
+
+    @property
+    def channels_per_level(self) -> List[int]:
+        return list(self.model.output_dims) * len(self.conf.pyr_scales)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.channels_per_level)
+
+    # -- image loading ------------------------------------------------------
+    def scaled_image_size(self, image: PIL.Image.Image, pyr_scale=1.0):
+        w, h = image.size
+        s = min(float(self.conf.max_edge) / max(w, h), 1.0) * pyr_scale
+        return [int(round(s * w)), int(round(s * h))]
+
+    def resize_image(self, image: PIL.Image.Image, pyr_scale: float):
+        w_new, h_new = self.scaled_image_size(image, pyr_scale)
+        if (w_new, h_new) == image.size:
+            return image
+        return image.resize((w_new, h_new),
+                            RESIZE_FILTERS[str(self.conf.resize)])
+
+    # -- main entry ---------------------------------------------------------
+    def __call__(self, image_path, keypoints: Optional[np.ndarray] = None,
+                 keypoint_ids: Optional[Sequence[int]] = None,
+                 as_dict: bool = False,
+                 overwrite_sparse: Optional[bool] = None) -> List:
+        img = PIL.Image.open(image_path).convert("RGB")
+        img_size = img.size
+        if self.conf.fast_image_load:
+            img.draft("RGB", self.scaled_image_size(
+                img, self.conf.pyr_scales[0]))
+
+        fmaps = []
+        for pyr_scale in self.conf.pyr_scales:
+            img_pyr = self.resize_image(img, pyr_scale)
+            tens = self.model.preprocess(img_pyr)
+            feats = self.model(tens)
+            for level, fm in enumerate(feats):
+                fmaps.append(self._to_fmap(np.asarray(fm[0]), img_size,
+                                           keypoints, keypoint_ids, as_dict,
+                                           overwrite_sparse))
+        return fmaps
+
+    def _to_fmap(self, fmap: np.ndarray, image_size, keypoints, keypoint_ids,
+                 as_dict, overwrite_sparse):
+        sparse = (self.conf.sparse if overwrite_sparse is None
+                  else overwrite_sparse)
+        w, h = image_size
+        ps = int(self.conf.patch_size)
+
+        if keypoints is not None:
+            keypoints = np.asarray(keypoints, np.float64).reshape(-1, 2)
+            if keypoint_ids is None:
+                keypoint_ids = list(range(len(keypoints)))
+            elif len(keypoints) != len(keypoint_ids):
+                raise ValueError("keypoints / keypoint_ids length mismatch")
+        if sparse and keypoints is None:
+            raise RuntimeError("sparse extraction requires keypoints")
+
+        if self.conf.l2_normalize:
+            fmap = fmap / np.maximum(
+                np.linalg.norm(fmap, axis=-1, keepdims=True), 1e-12)
+        fmap = fmap.astype(storage_dtype(self.storage_dtype))
+
+        fh, fw, C = fmap.shape
+        scale = np.array([fw / w, fh / h])
+
+        better_sparse = (keypoints is not None
+                         and fmap.size > len(keypoints) * ps * ps * C)
+
+        if sparse and better_sparse:
+            corners = (keypoints * scale - ps / 2.0).astype(np.int32)
+            corners = np.clip(corners, [0, 0],
+                              [max(fw - ps - 1, 0), max(fh - ps - 1, 0)])
+            patches = extract_patches_numpy(fmap, corners, ps)
+            data = dict(patches=patches, corners=corners,
+                        keypoint_ids=list(keypoint_ids),
+                        metadata=dict(scale=scale, is_sparse=True,
+                                      patch_size=ps))
+        elif not sparse or not self.conf.use_cache or not as_dict:
+            data = dict(patches=fmap[None],
+                        corners=np.array([[0, 0]], np.int32),
+                        keypoint_ids=[kDensePatchId],
+                        metadata=dict(scale=scale, is_sparse=False,
+                                      patch_size=ps))
+        else:
+            # dense-stored / sparse-loaded cache mode (extractor.py:212-226)
+            corners = (keypoints * scale - ps / 2.0).astype(np.int32)
+            corners = np.clip(corners, [0, 0],
+                              [max(fw - ps - 1, 0), max(fh - ps - 1, 0)])
+            data = dict(patches=fmap[None], corners=corners,
+                        keypoint_ids=list(keypoint_ids),
+                        metadata=dict(scale=scale, is_sparse=False,
+                                      patch_size=ps))
+
+        if as_dict:
+            return data
+        return FeatureMap.from_arrays(
+            data["patches"], data["keypoint_ids"], data["corners"], scale,
+            is_sparse=data["metadata"]["is_sparse"])
+
+    # -- memory estimation (reference extractor.py:242-264) -----------------
+    def estimate_req_memory(self, image_path, num_kps: int) -> float:
+        n_bytes = {"bfloat16": 2, "float16": 2, "float32": 4,
+                   "float64": 8}[self.storage_dtype]
+        if self.conf.sparse:
+            return (self.conf.patch_size ** 2 * sum(self.channels_per_level)
+                    * num_kps * n_bytes)
+        if self.model.scales is None:
+            return float("nan")
+        image = PIL.Image.open(image_path)
+        req = 0.0
+        for pyr_scale in self.conf.pyr_scales:
+            w, h = self.scaled_image_size(image, pyr_scale)
+            for i, c in enumerate(self.model.output_dims):
+                req += w * h / self.model.scales[i] ** 2 * c * n_bytes
+        return req

@@ -1,0 +1,22 @@
+"""Feature CNN registry (reference: pixsfm/features/models/__init__.py uses
+dynamic module loading; here a simple name registry)."""
+
+from .base_model import BaseModel  # noqa: F401
+from .dsift import DSIFT
+from .image import ImageModel
+from .s2dnet import S2DNet
+from .vggnet import VGGNet
+
+MODELS = {
+    "s2dnet": S2DNet,
+    "vggnet": VGGNet,
+    "dsift": DSIFT,
+    "image": ImageModel,
+}
+
+
+def get_model(name: str):
+    if name not in MODELS:
+        raise ValueError(f"unknown feature model {name!r}; "
+                         f"available: {sorted(MODELS)}")
+    return MODELS[name]

@@ -83,6 +83,17 @@ def find_problem_labels(track_labels: Sequence[int], max_per_problem: int,
         track_count = Counter({i: v for i, v in enumerate(track_edge_counts)})
     if max_per_problem == -1:
         max_per_problem = max(track_count.values())
+
+    from .. import native
+    if native.available() and len(track_count) > 10000:
+        n_tracks = max(track_count) + 1
+        counts = np.zeros(n_tracks, np.int64)
+        for k, v in track_count.items():
+            counts[k] = v
+        t2p, n_bins = native.ffd_bin_packing_native(counts, max_per_problem)
+        bins_arr = np.zeros(n_bins, np.int64)
+        np.add.at(bins_arr, t2p[counts > 0], counts[counts > 0])
+        return [int(t2p[t]) for t in track_labels], bins_arr.tolist()
     bins: List[int] = []
     track_to_problem = [-1] * (max(track_count) + 1)
 

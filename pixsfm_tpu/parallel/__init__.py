@@ -1,0 +1,3 @@
+from .sharded import (  # noqa: F401
+    make_mesh, shard_ka_chunk, sharded_ba_solve,
+)

@@ -1,0 +1,365 @@
+"""Lite incremental Structure-from-Motion mapper.
+
+The reference shells out to COLMAP's incremental mapper via hloc
+(``hloc.reconstruction.main``; reference refine_hloc.py:94-115). COLMAP is not
+available in this environment, so this module provides a compact standalone
+mapper sufficient to drive the KA -> SfM -> BA pipeline end-to-end:
+
+1. initial pair: most matches with enough parallax; relative pose from the
+   normalized 8-point essential matrix + cheirality disambiguation;
+2. incremental registration: next image by 2D-3D correspondence count, PnP
+   (RANSAC + refinement), track triangulation, periodic global geometric BA
+   (the Schur LM), and reprojection-error filtering.
+
+It is deliberately simple — COLMAP remains the gold standard — but produces
+well-posed reconstructions on matched image sets for featuremetric refinement.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+import PIL.Image
+
+from .. import logger
+from ..base.cameras import Camera
+from ..base.geometry import rotmat_to_quat
+from ..base.graph import Graph, compute_track_labels
+from .model import Image, Point3D, Reconstruction
+from .triangulation import triangulate_tracks
+
+__all__ = ["incremental_mapping"]
+
+
+def _fit_E(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    A = np.einsum("ni,nj->nij", x2, x1).reshape(len(x1), 9)
+    _, _, Vt = np.linalg.svd(A)
+    E = Vt[-1].reshape(3, 3)
+    U, S, Vt2 = np.linalg.svd(E)
+    return U @ np.diag([1.0, 1.0, 0.0]) @ Vt2
+
+
+def _sampson(E, x1, x2):
+    Ex1 = x1 @ E.T
+    Etx2 = x2 @ E
+    num = np.einsum("ni,ni->n", x2, Ex1) ** 2
+    den = (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2
+           + Etx2[:, 1] ** 2)
+    return num / np.maximum(den, 1e-18)
+
+
+def _essential_from_matches(uv1: np.ndarray, uv2: np.ndarray,
+                            iters: int = 1000, thresh: float = 2e-3,
+                            seed: int = 0):
+    """LO-RANSAC normalized 8-point E; returns (R, t, inliers) with
+    x2 ~ R x1 + t (world = camera 1)."""
+    n = len(uv1)
+    if n < 8:
+        return None
+    x1 = np.hstack([uv1, np.ones((n, 1))])
+    x2 = np.hstack([uv2, np.ones((n, 1))])
+    rng = np.random.default_rng(seed)
+    best = (0, None, None)
+    t2 = thresh ** 2
+    for _ in range(iters):
+        idx = rng.choice(n, 8, replace=False)
+        E = _fit_E(x1[idx], x2[idx])
+        inl = _sampson(E, x1, x2) < t2
+        if inl.sum() > best[0]:
+            # local optimization: refit on inliers until stable
+            for _ in range(3):
+                if inl.sum() < 8:
+                    break
+                E = _fit_E(x1[inl], x2[inl])
+                new_inl = _sampson(E, x1, x2) < t2
+                if new_inl.sum() <= inl.sum():
+                    break
+                inl = new_inl
+            if inl.sum() > best[0]:
+                best = (int(inl.sum()), E, inl)
+    if best[1] is None or best[0] < 12:
+        return None
+    E, inl = best[1], best[2]
+
+    # decompose: 4 candidates, pick by cheirality on inliers
+    U, _, Vt = np.linalg.svd(E)
+    if np.linalg.det(U) < 0:
+        U = -U
+    if np.linalg.det(Vt) < 0:
+        Vt = -Vt
+    W = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    cands = []
+    for R in (U @ W @ Vt, U @ W.T @ Vt):
+        for t in (U[:, 2], -U[:, 2]):
+            cands.append((R, t))
+
+    def count_front(R, t):
+        # triangulate a subset and count positive depths in both views
+        sel = np.nonzero(inl)[0][:50]
+        P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+        P2 = np.hstack([R, t[:, None]])
+        good = 0
+        for i in sel:
+            A = np.stack([
+                uv1[i, 0] * P1[2] - P1[0], uv1[i, 1] * P1[2] - P1[1],
+                uv2[i, 0] * P2[2] - P2[0], uv2[i, 1] * P2[2] - P2[1]])
+            _, _, Vt3 = np.linalg.svd(A)
+            X = Vt3[-1]
+            X = X[:3] / X[3] if abs(X[3]) > 1e-12 else X[:3]
+            z1 = X[2]
+            z2 = (R @ X + t)[2]
+            good += int(z1 > 0 and z2 > 0)
+        return good
+
+    scored = [(count_front(R, t), R, t) for R, t in cands]
+    front, R, t = max(scored, key=lambda s: s[0])
+    return R, t, inl, front
+
+
+def _image_sizes(names, image_dir) -> Dict[str, Tuple[int, int]]:
+    sizes = {}
+    for name in names:
+        p = Path(image_dir) / name
+        if p.exists():
+            with PIL.Image.open(p) as im:
+                sizes[name] = im.size
+        else:
+            sizes[name] = (1600, 1200)
+    return sizes
+
+
+def _default_params(camera_model: str, w: int, h: int):
+    f0 = 1.2 * max(w, h)  # COLMAP's default focal prior
+    return {"SIMPLE_PINHOLE": [f0, w / 2, h / 2],
+            "SIMPLE_RADIAL": [f0, w / 2, h / 2, 0.0],
+            "PINHOLE": [f0, f0, w / 2, h / 2],
+            "RADIAL": [f0, w / 2, h / 2, 0.0, 0.0]}[camera_model]
+
+
+def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
+                        image_dir, camera_model: str = "SIMPLE_RADIAL",
+                        shared_camera: bool = False,
+                        max_reproj_error: float = 4.0,
+                        ba_every: int = 1,
+                        cameras: Optional[Dict[str, Camera]] = None
+                        ) -> Reconstruction:
+    """``cameras``: optional known per-image intrinsics (hloc/COLMAP accept the
+    same); when absent, intrinsics are initialized from a focal prior and
+    refined by focal sweeps + bundle adjustment."""
+    from ..bundle_adjustment import GeometricBundleAdjuster
+    from ..localization.pnp import absolute_pose_estimation
+
+    names = sorted(keypoints.keys())
+    sizes = _image_sizes(names, image_dir)
+    rec = Reconstruction()
+    known_intrinsics = cameras is not None
+
+    # one camera per image (internet-photo default) unless shared_camera
+    name_to_id = {}
+    cam_of: Dict[str, Camera] = {}
+    for i, name in enumerate(names):
+        iid = i + 1
+        name_to_id[name] = iid
+        w, h = sizes[name]
+        if known_intrinsics and name in cameras:
+            src_cam = cameras[name]
+            cam_id = src_cam.camera_id if src_cam.camera_id > 0 else iid
+            if cam_id not in rec.cameras:
+                rec.add_camera(Camera(cam_id, src_cam.model, src_cam.width,
+                                      src_cam.height, src_cam.params.copy()))
+        elif shared_camera:
+            cam_id = 1
+            if cam_id not in rec.cameras:
+                rec.add_camera(Camera(
+                    cam_id, camera_model, w, h,
+                    np.asarray(_default_params(camera_model, w, h),
+                               np.float64)))
+        else:
+            cam_id = iid
+            rec.add_camera(Camera(
+                cam_id, camera_model, w, h,
+                np.asarray(_default_params(camera_model, w, h), np.float64)))
+        cam_of[name] = rec.cameras[cam_id]
+        im = Image(iid, name, cam_id, registered=False)
+        im.xys = np.asarray(keypoints[name], np.float64).copy()
+        im.point3D_ids = np.full(len(im.xys), -1, np.int64)
+        rec.add_image(im)
+
+    # pairwise match counts from the graph
+    src, dst, _ = graph.edges_array()
+    image_ids_arr, feature_idxs = graph.nodes_array()
+    pair_matches: Dict[Tuple[str, str], List[Tuple[int, int]]] = {}
+    for e in range(graph.num_edges):
+        n1, n2 = int(src[e]), int(dst[e])
+        name1 = graph.image_id_to_name[int(image_ids_arr[n1])]
+        name2 = graph.image_id_to_name[int(image_ids_arr[n2])]
+        if name1 == name2:
+            continue
+        key = (name1, name2) if name1 < name2 else (name2, name1)
+        m = ((int(feature_idxs[n1]), int(feature_idxs[n2]))
+             if name1 < name2 else (int(feature_idxs[n2]),
+                                    int(feature_idxs[n1])))
+        pair_matches.setdefault(key, []).append(m)
+
+    if not pair_matches:
+        logger.warning("mapper: no pairwise matches; nothing to reconstruct")
+        return rec
+
+    # --- initial pair: sweep focal factors per image (internet photos carry
+    # no EXIF here; COLMAP similarly samples focals when priors are absent).
+    # With known intrinsics the sweep collapses to the identity factor.
+    FOCAL_FACTORS = (1.0,) if known_intrinsics else (0.6, 0.85, 1.2, 1.7)
+    init_pair = None
+    best_score = 0
+    top_pairs = sorted(pair_matches.items(), key=lambda kv: -len(kv[1]))[:3]
+    for (na, nb), ms in top_pairs:
+        ms = np.asarray(ms)
+        denom = 1.0 if known_intrinsics else 1.2
+        fa0 = cam_of[na].params[0] / denom
+        fb0 = cam_of[nb].params[0] / denom
+        for fa in FOCAL_FACTORS:
+            for fb in FOCAL_FACTORS:
+                ca = Camera(0, cam_of[na].model, cam_of[na].width,
+                            cam_of[na].height, cam_of[na].params.copy())
+                cb = Camera(0, cam_of[nb].model, cam_of[nb].width,
+                            cam_of[nb].height, cam_of[nb].params.copy())
+                ca.params[0] = fa * fa0
+                cb.params[0] = fb * fb0
+                uv1 = ca.cam_from_img(keypoints[na][ms[:, 0]])
+                uv2 = cb.cam_from_img(keypoints[nb][ms[:, 1]])
+                sol = _essential_from_matches(uv1, uv2, iters=400)
+                if sol is None:
+                    continue
+                R, t, inl, front = sol
+                # score: inliers that also triangulate in front of both views
+                score = min(int(inl.sum()), 2 * front)
+                if score > best_score:
+                    best_score = score
+                    init_pair = (na, nb, R, t, fa * fa0, fb * fb0)
+        if best_score >= 0.6 * len(ms):
+            break
+    if init_pair is None or best_score < 15:
+        logger.warning("mapper: no valid initial pair found")
+        return rec
+    na, nb, R, t, fa, fb = init_pair
+    cam_of[na].params[0] = fa
+    cam_of[nb].params[0] = fb
+    logger.info("mapper: init focals %.0f / %.0f (%d inliers)", fa, fb,
+                best_score)
+
+    ia, ib = name_to_id[na], name_to_id[nb]
+    import jax.numpy as jnp
+    rec.images[ia].qvec = np.array([1.0, 0, 0, 0])
+    rec.images[ia].tvec = np.zeros(3)
+    rec.images[ia].registered = True
+    rec.images[ib].qvec = np.asarray(rotmat_to_quat(jnp.asarray(R)))
+    rec.images[ib].tvec = t
+    rec.images[ib].registered = True
+    logger.info("mapper: initialized with pair (%s, %s)", na, nb)
+
+    track_labels = compute_track_labels(graph)
+
+    def retriangulate():
+        # clear and re-triangulate over currently registered images
+        rec.points3D.clear()
+        for im in rec.images.values():
+            im.point3D_ids[:] = -1
+        reg = {im.name for im in rec.images.values() if im.registered}
+        sub = Reconstruction()
+        sub.cameras = rec.cameras
+        sub.images = {iid: im for iid, im in rec.images.items()
+                      if im.registered}
+        triangulate_tracks(sub, graph, keypoints,
+                           track_labels=track_labels,
+                           max_reproj_error=max_reproj_error)
+        rec.points3D = sub.points3D
+
+    retriangulate()
+    ba = GeometricBundleAdjuster({
+        "optimizer": {"solver": {"max_num_iterations": 25,
+                                 "use_inner_iterations": False},
+                      "refine_principal_point": False,
+                      "refine_focal_length": not known_intrinsics,
+                      "refine_extra_params": not known_intrinsics}})
+    # refine the two-view structure before attempting registrations
+    if len(rec.points3D) >= 8:
+        ba.refine(rec)
+        retriangulate()
+
+    registered = {na, nb}
+    n_since_ba = 0
+    while True:
+        # build 2D-3D correspondences via graph tracks:
+        # map track label -> point3D through a registered observation
+        label_to_pid = {}
+        for pid, p in rec.points3D.items():
+            for iid, p2D_idx in p.track:
+                nm = rec.images[iid].name
+                gid = graph.image_name_to_id.get(nm)
+                if gid is None:
+                    continue
+                nid = graph._node_map.get((gid, p2D_idx))
+                if nid is not None:
+                    label_to_pid[track_labels[nid]] = pid
+                    break
+        cand: Dict[str, List[Tuple[int, int]]] = {}
+        for nid in range(graph.num_nodes):
+            lbl = track_labels[nid]
+            pid = label_to_pid.get(lbl)
+            if pid is None:
+                continue
+            nm = graph.image_id_to_name[int(image_ids_arr[nid])]
+            if nm in registered:
+                continue
+            cand.setdefault(nm, []).append((int(feature_idxs[nid]), pid))
+        if not cand:
+            break
+        next_name, corrs = max(cand.items(), key=lambda kv: len(kv[1]))
+        if len(corrs) < 6:
+            break
+        p2D_idxs = [c[0] for c in corrs]
+        p3D_ids = [c[1] for c in corrs]
+        xy = keypoints[next_name][p2D_idxs]
+        X = np.stack([rec.points3D[p].xyz for p in p3D_ids])
+        cam_n = cam_of[next_name]
+        pose = absolute_pose_estimation(xy, X, cam_n, max_error_px=12.0)
+        if (not pose["success"] or pose["num_inliers"] < 12) and \
+                len(xy) >= 12 and not known_intrinsics:
+            # focal sweep retry (unknown intrinsics)
+            f0 = cam_n.params[0]
+            for ff in (0.6, 0.85, 1.7, 2.4):
+                cam_try = Camera(0, cam_n.model, cam_n.width, cam_n.height,
+                                 cam_n.params.copy())
+                cam_try.params[0] = ff * f0 / 1.2
+                cand = absolute_pose_estimation(xy, X, cam_try,
+                                                max_error_px=12.0)
+                if cand["success"] and cand["num_inliers"] > \
+                        pose.get("num_inliers", 0):
+                    pose = cand
+                    cam_n.params[0] = cam_try.params[0]
+        if not pose["success"] or pose["num_inliers"] < 6:
+            logger.info("mapper: failed to register %s", next_name)
+            registered.add(next_name)  # avoid retry loop
+            continue
+        im = rec.images[name_to_id[next_name]]
+        im.qvec = pose["qvec"]
+        im.tvec = pose["tvec"]
+        im.registered = True
+        registered.add(next_name)
+        logger.info("mapper: registered %s (%d inliers)", next_name,
+                    pose["num_inliers"])
+        retriangulate()
+        n_since_ba += 1
+        if n_since_ba >= ba_every:
+            ba.refine(rec)
+            retriangulate()
+            n_since_ba = 0
+
+    ba.refine(rec)
+    retriangulate()
+    ba.refine(rec)
+    logger.info("mapper: %d registered images, %d points",
+                rec.num_reg_images, len(rec.points3D))
+    return rec
