@@ -23,7 +23,7 @@ Root keypoints are frozen (SetMaskedNodesConstant, keypoint_adjustment_options.c
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -36,6 +36,12 @@ from ..base.losses import RobustLoss
 from ..ops.lm import LMOptions, lm_solve
 
 __all__ = ["KAProblems", "build_ka_problems", "solve_ka_problems"]
+
+
+def _interp_key(interp: InterpolationConfig):
+    return (interp.mode, interp.l2_normalize, interp.ncc_normalize,
+            tuple(tuple(n) for n in interp.nodes))
+
 
 
 @dataclass
@@ -332,6 +338,25 @@ def make_target_system(all_patches, interp: InterpolationConfig,
     return system_fn, cost_fn
 
 
+@lru_cache(maxsize=32)
+def _compiled_target_chunk(interp_key, loss_key, lm_opts: LMOptions):
+    interp = InterpolationConfig(mode=interp_key[0], l2_normalize=interp_key[1],
+                                 ncc_normalize=interp_key[2],
+                                 nodes=[list(n) for n in interp_key[3]])
+    loss = RobustLoss(loss_key[0], list(loss_key[1]), scale=loss_key[2])
+
+    @jax.jit
+    def run_chunk(all_patches, x0, data, lower, upper, pmask, fmask):
+        system_fn, cost_fn = make_target_system(all_patches, interp, loss)
+        sysf = lambda x: system_fn(x, data)
+        costf = lambda x: cost_fn(x, data)
+        return lm_solve(sysf, costf, x0, param_mask=fmask,
+                        problem_mask=pmask, lower=lower, upper=upper,
+                        opts=lm_opts)
+
+    return run_chunk
+
+
 def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
                           target_w, lower, upper, packed_patches,
                           interp: InterpolationConfig, loss: RobustLoss,
@@ -340,15 +365,12 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
     """Batched fixed-target LM over P independent keypoints. Returns (kp, summary)."""
     P = kp0.shape[0]
     all_patches = jnp.asarray(packed_patches)
-    system_fn, cost_fn = make_target_system(all_patches, interp, loss)
+    run_chunk_c = _compiled_target_chunk(
+        _interp_key(interp), (loss.name, tuple(loss.params), loss.scale),
+        lm_opts)
 
-    @jax.jit
     def run_chunk(x0, data, lower, upper, pmask, fmask):
-        sysf = lambda x: system_fn(x, data)
-        costf = lambda x: cost_fn(x, data)
-        return lm_solve(sysf, costf, x0, param_mask=fmask,
-                        problem_mask=pmask, lower=lower, upper=upper,
-                        opts=lm_opts)
+        return run_chunk_c(all_patches, x0, data, lower, upper, pmask, fmask)
 
     out = np.array(kp0, np.float32, copy=True)
     tot = dict(initial_cost=0.0, final_cost=0.0, num_problems=P, iterations=0)
@@ -390,6 +412,33 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
     return out, tot
 
 
+
+
+@lru_cache(maxsize=32)
+def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int):
+    """One jitted KA chunk solver per static configuration — reused across
+    levels, calls, and bench repetitions (jit caching is essential: through the
+    TPU tunnel every recompile costs minutes)."""
+    interp = InterpolationConfig(mode=interp_key[0], l2_normalize=interp_key[1],
+                                 ncc_normalize=interp_key[2],
+                                 nodes=[list(n) for n in interp_key[3]])
+    loss = RobustLoss(loss_key[0], list(loss_key[1]), scale=loss_key[2])
+
+    @jax.jit
+    def run_chunk(all_patches, x0, data, kp_free, lower, upper, pmask):
+        system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K)
+        sysf = lambda x: system_fn(x, data)
+        costf = lambda x: cost_fn(x, data)
+        mask = jnp.repeat(kp_free, 2, axis=1)
+        x, summary = lm_solve(sysf, costf, x0, param_mask=mask,
+                              problem_mask=pmask,
+                              lower=lower.reshape(x0.shape),
+                              upper=upper.reshape(x0.shape), opts=lm_opts)
+        return x, summary
+
+    return run_chunk
+
+
 def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
                       interp: InterpolationConfig, loss: RobustLoss,
                       lm_opts: LMOptions, chunk: int = 128
@@ -401,18 +450,13 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
     """
     P, K, _ = problems.kp0.shape
     all_patches = jnp.asarray(packed_patches)
-    system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K)
+    run_chunk_c = _compiled_ka_chunk(
+        _interp_key(interp), (loss.name, tuple(loss.params), loss.scale),
+        lm_opts, K)
 
-    @partial(jax.jit, static_argnums=())
     def run_chunk(x0, data, kp_free, lower, upper, pmask):
-        sysf = lambda x: system_fn(x, data)
-        costf = lambda x: cost_fn(x, data)
-        mask = jnp.repeat(kp_free, 2, axis=1)
-        x, summary = lm_solve(sysf, costf, x0, param_mask=mask,
-                              problem_mask=pmask,
-                              lower=lower.reshape(x0.shape),
-                              upper=upper.reshape(x0.shape), opts=lm_opts)
-        return x, summary
+        return run_chunk_c(all_patches, x0, data, kp_free, lower, upper,
+                           pmask)
 
     out = np.zeros_like(problems.kp0)
     tot = dict(initial_cost=0.0, final_cost=0.0, num_problems=P,
