@@ -264,7 +264,11 @@ class FeatureView:
     """
 
     def __init__(self, fset: FeatureSet,
-                 required: Mapping[str, Sequence[int]]):
+                 required: Mapping[str, Sequence[int]],
+                 keypoints: Optional[Mapping[str, np.ndarray]] = None):
+        """``keypoints``: image coords per image, required for slicing dense
+        maps into per-keypoint windows (dense-stored / sparse-packed mode —
+        the reference's dense slicing, featuremap.cc:160-168)."""
         self.fset = fset
         ps = fset.patch_size
         rows = []
@@ -277,11 +281,33 @@ class FeatureView:
             fmap = fset.get_map(image_name, required_ids=list(ids))
             if fmap.is_dense:
                 patch = fmap.get_patch(kDensePatchId)
-                dense_images[image_name] = len(rows)
-                rows.append(patch.data)
-                corners.append(patch.corner)
-                scales.append(patch.scale)
-                ups.append(patch.upsampling_factor)
+                kps = None if keypoints is None else keypoints.get(image_name)
+                if kps is None:
+                    # whole dense map as one shared patch (single-image use)
+                    dense_images[image_name] = len(rows)
+                    rows.append(patch.data)
+                    corners.append(patch.corner)
+                    scales.append(patch.scale)
+                    ups.append(patch.upsampling_factor)
+                    continue
+                # slice fixed-size windows around each requested keypoint
+                fh, fw = patch.data.shape[:2]
+                for p2D_idx in ids:
+                    key = (image_name, int(p2D_idx))
+                    if key in index:
+                        continue
+                    xy = np.asarray(kps[int(p2D_idx)], np.float64)
+                    cpix = xy * patch.scale - 0.5
+                    corner = np.clip(
+                        np.floor(cpix - ps / 2).astype(np.int64) +
+                        patch.corner.astype(np.int64),
+                        [0, 0], [max(fw - ps, 0), max(fh - ps, 0)])
+                    cx, cy = int(corner[0]), int(corner[1])
+                    index[key] = len(rows)
+                    rows.append(patch.data[cy:cy + ps, cx:cx + ps])
+                    corners.append(corner)
+                    scales.append(patch.scale)
+                    ups.append(patch.upsampling_factor)
                 continue
             for p2D_idx in ids:
                 key = (image_name, int(p2D_idx))
@@ -296,11 +322,12 @@ class FeatureView:
         if rows:
             shapes = {r.shape for r in rows}
             if len(shapes) > 1:
-                # dense maps of different sizes: cannot stack; keep ragged list.
-                self.packed = None
-                self._ragged = rows
+                raise ValueError(
+                    "cannot stack featuremaps of differing shapes "
+                    f"({shapes}); pass keypoints= for dense maps or use "
+                    "sparse extraction")
             self.packed = PackedFeatures(
-                patches=np.stack(rows) if len(shapes) == 1 else rows,
+                patches=np.stack(rows),
                 corners=np.asarray(corners, dtype=np.float64).reshape(-1, 2),
                 scales=np.asarray(scales, dtype=np.float64).reshape(-1, 2),
                 upsampling=np.asarray(ups, dtype=np.float32),
@@ -314,7 +341,9 @@ class FeatureView:
     # -- factory helpers (reference featureview.cc factories) ---------------
     @classmethod
     def from_graph(cls, fset: FeatureSet, graph,
-                   node_subset: Optional[Sequence[int]] = None) -> "FeatureView":
+                   node_subset: Optional[Sequence[int]] = None,
+                   keypoints: Optional[Mapping[str, np.ndarray]] = None
+                   ) -> "FeatureView":
         image_ids, feature_idxs = graph.nodes_array()
         node_ids = (np.arange(graph.num_nodes) if node_subset is None
                     else np.asarray(node_subset))
@@ -322,7 +351,7 @@ class FeatureView:
         for nid in node_ids:
             name = graph.image_id_to_name[int(image_ids[nid])]
             required.setdefault(name, []).append(int(feature_idxs[nid]))
-        return cls(fset, required)
+        return cls(fset, required, keypoints=keypoints)
 
     @classmethod
     def from_reconstruction(cls, fset: FeatureSet, reconstruction,
@@ -336,7 +365,9 @@ class FeatureView:
             for image_id, p2D_idx in p3D.track:
                 name = reconstruction.images[image_id].name
                 required.setdefault(name, []).append(int(p2D_idx))
-        return cls(fset, required)
+        # dense maps are sliced around the stored observation coordinates
+        keypoints = {im.name: im.xys for im in reconstruction.images.values()}
+        return cls(fset, required, keypoints=keypoints)
 
     @classmethod
     def from_image_list(cls, fset: FeatureSet,

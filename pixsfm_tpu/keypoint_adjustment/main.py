@@ -199,7 +199,8 @@ class KeypointAdjuster:
         t0 = time.time()
         labels = np.asarray(problem_labels)
         view = FeatureView.from_graph(feature_set, graph,
-                                      np.nonzero(labels >= 0)[0])
+                                      np.nonzero(labels >= 0)[0],
+                                      keypoints=keypoints_dict)
         packed = view.packed
 
         const = None
@@ -326,7 +327,8 @@ class TopologicalReferenceKeypointAdjuster(KeypointAdjuster):
 
         view = FeatureView.from_graph(
             feature_set, graph,
-            np.concatenate([nodes, root_of_track[track_labels[nodes]]]))
+            np.concatenate([nodes, root_of_track[track_labels[nodes]]]),
+            keypoints=keypoints_dict)
         packed = view.packed
 
         def node_data(nids):
