@@ -63,7 +63,10 @@ def run_once(problems, patches, chunk, max_iters=100):
                              chunk=chunk)
 
 
-def bench_backend(problems, patches, chunk, repeats=3):
+def bench_backend(problems, patches, chunk, repeats=2, iters=100,
+                  warmup_iters=2):
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -72,42 +75,55 @@ def bench_backend(problems, patches, chunk, repeats=3):
     # the tunnel is not part of the solver's steady-state cost.
     staged = jnp.asarray(patches)
     staged.block_until_ready()
-    # warmup (compile)
-    run_once(problems, staged, chunk)
+    # warmup/compile with a short iteration cap, then time the full cap;
+    # throughput is reported per (keypoint x LM iteration) so backends can be
+    # timed at different caps.
+    t0 = time.time()
+    run_once(problems, staged, chunk, max_iters=warmup_iters)
+    print(f"[bench] warmup+compile ({warmup_iters} iters): "
+          f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    run_once(problems, staged, chunk, max_iters=iters)
+    t_compile2 = time.time() - t0
+    print(f"[bench] first timed run ({iters} iters incl. compile): "
+          f"{t_compile2:.1f}s", file=sys.stderr, flush=True)
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        run_once(problems, staged, chunk)
+        run_once(problems, staged, chunk, max_iters=iters)
         times.append(time.time() - t0)
+    print(f"[bench] steady-state: {min(times):.2f}s", file=sys.stderr,
+          flush=True)
     return min(times)
 
 
 def main():
     import jax
 
-    P, K = 192, 48
+    ITERS = 100
+    P, K = 128, 48
     problems, patches = build_workload(P=P, K=K)
     n_kps = int(problems.kp_valid.sum())
 
-    # TPU (default backend)
-    t_tpu = bench_backend(problems, patches, chunk=64)
-    tpu_kps_per_s = n_kps / t_tpu
+    # TPU (default backend); single chunk per run
+    t_tpu = bench_backend(problems, patches, chunk=P, iters=ITERS)
+    tpu_rate = n_kps * ITERS / t_tpu  # keypoint-iterations / s
 
-    # CPU baseline: smaller slice, extrapolated linearly
-    cpu_P = 8
+    # CPU baseline: small slice, few iterations, same per-iteration metric
+    cpu_P, cpu_iters = 8, 10
     sub, _ = build_workload(P=cpu_P, K=K)
     sub_patches = patches[:cpu_P * K]
     cpu_dev = jax.devices("cpu")[0]
     with jax.default_device(cpu_dev):
-        t_cpu_slice = bench_backend(sub, sub_patches, chunk=8, repeats=1)
-    cpu_kps_per_s = int(sub.kp_valid.sum()) / t_cpu_slice
+        t_cpu = bench_backend(sub, sub_patches, chunk=cpu_P, repeats=1,
+                              iters=cpu_iters, warmup_iters=1)
+    cpu_rate = int(sub.kp_valid.sum()) * cpu_iters / t_cpu
 
     print(json.dumps({
-        "metric": "ka_featuremetric_keypoints_per_s",
-        "value": round(tpu_kps_per_s, 1),
-        "unit": "keypoints/s (P=%d,K=%d,C=128,ps=16,bf16,100-iter LM)"
-                % (P, K),
-        "vs_baseline": round(tpu_kps_per_s / cpu_kps_per_s, 2),
+        "metric": "ka_featuremetric_keypoint_iterations_per_s",
+        "value": round(tpu_rate, 1),
+        "unit": "keypoint-LM-iterations/s (K=%d,C=128,ps=16,bf16)" % K,
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
     }))
 
 

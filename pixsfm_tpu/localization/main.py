@@ -60,6 +60,39 @@ def compute_reprojection_errors(points2D, points3D, qvec, tvec,
     return err
 
 
+def find_feature_inliers(points2D, query_fmap: FeatureMap, references,
+                         interp: InterpolationConfig, thresh: float = -1,
+                         point2D_idxs=None) -> List[bool]:
+    """Drop correspondences whose query descriptor is farther than ``thresh``
+    from the reference (reference: localization/main.py:20-35)."""
+    n = len(points2D)
+    if thresh < 0:
+        return [True] * n
+    patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
+    rows = _rows_for(query_fmap, row_of,
+                     point2D_idxs if point2D_idxs is not None else range(n))
+    kp = np.asarray(points2D, np.float32)
+    pc = (kp * scales[rows] - 0.5 - corners[rows]) * ups[rows][:, None]
+    pj = jnp.asarray(patches)
+
+    @jax.jit
+    def q_desc(rows, r, c):
+        return jax.vmap(lambda row, rr, cc: interpolate(
+            pj[row], rr, cc, interp).reshape(-1))(rows, r, c)
+
+    qd = np.asarray(q_desc(jnp.asarray(rows), jnp.asarray(pc[:, 1]),
+                           jnp.asarray(pc[:, 0])))
+    inliers = []
+    for i in range(n):
+        ref = np.asarray(references[i])
+        if ref.ndim == 1:
+            inliers.append(bool(np.linalg.norm(qd[i] - ref) <= thresh))
+        else:
+            d = np.linalg.norm(ref.reshape(-1, qd.shape[-1]) - qd[i], axis=1)
+            inliers.append(bool(d.min() <= thresh))
+    return inliers
+
+
 def find_unique_inliers(idxs, pre_inliers=None) -> List[bool]:
     unique = [False] * len(idxs)
     seen = set()
@@ -191,6 +224,11 @@ class QueryKeypointAdjuster:
         lm_opts = LMOptions.from_solver_conf(opt.get("solver"))
         bound = float(opt.get("bound", 4.0))
 
+        thresh = float(self.conf.get("feature_inlier_thresh", -1) or -1)
+        feat_inliers = find_feature_inliers(
+            keypoints, query_fmap, references, interp, thresh=thresh,
+            point2D_idxs=point2D_idxs)
+
         patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
         ps = patches.shape[1]
 
@@ -209,7 +247,7 @@ class QueryKeypointAdjuster:
             for j, u in enumerate(uniq):
                 for t, i in enumerate(kp_map[u]):
                     targets[j, t] = references[i]
-                    tw[j, t] = 1.0
+                    tw[j, t] = 1.0 if feat_inliers[i] else 0.0
         else:
             n = len(point2D_idxs)
             uniq = None
@@ -226,7 +264,7 @@ class QueryKeypointAdjuster:
             for i, r in enumerate(refs):
                 r2 = r.reshape(-1, C)
                 targets[i, :len(r2)] = r2
-                tw[i, :len(r2)] = 1.0
+                tw[i, :len(r2)] = 1.0 if feat_inliers[i] else 0.0
 
         corner = corners[rows]
         scale = scales[rows]

@@ -61,22 +61,84 @@ def build_query_correspondences(reconstruction: Reconstruction,
     return p2D_idxs, p3D_ids
 
 
+def covisibility_clusters(reconstruction: Reconstruction, query_name: str,
+                          pairs, matches) -> List[List[str]]:
+    """Group a query's retrieved reference images into covisibility clusters
+    (reference: pixsfm/localize.py optional clustering — references that share
+    3D points form one cluster; PnP runs per cluster, best wins)."""
+    refs = []
+    for n1, n2 in pairs:
+        if query_name in (n1, n2):
+            other = n2 if n1 == query_name else n1
+            if reconstruction.image_by_name(other) is not None:
+                refs.append(other)
+    refs = sorted(set(refs))
+    if not refs:
+        return []
+    pid_sets = {}
+    for name in refs:
+        im = reconstruction.image_by_name(name)
+        pid_sets[name] = set(int(p) for p in im.point3D_ids if p >= 0)
+    # union-find over shared points
+    parent = {n: n for n in refs}
+
+    def find(n):
+        while parent[n] != n:
+            parent[n] = parent[parent[n]]
+            n = parent[n]
+        return n
+
+    for i, a in enumerate(refs):
+        for b in refs[i + 1:]:
+            if pid_sets[a] & pid_sets[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    clusters: Dict[str, List[str]] = {}
+    for n in refs:
+        clusters.setdefault(find(n), []).append(n)
+    return sorted(clusters.values(), key=len, reverse=True)
+
+
 def localize_queries(localizer: QueryLocalizer,
                      queries: List[Tuple[str, Camera]],
                      keypoints: Dict[str, np.ndarray],
                      pairs: List[Tuple[str, str]],
                      matches: Dict[Tuple[str, str], np.ndarray],
-                     image_dir: Optional[Path] = None) -> Dict[str, Dict]:
+                     image_dir: Optional[Path] = None,
+                     covisibility_clustering: bool = False
+                     ) -> Dict[str, Dict]:
     results = {}
     for qname, qcam in queries:
+        image_path = (Path(image_dir) / qname) if image_dir else None
+        if covisibility_clustering:
+            clusters = covisibility_clusters(localizer.reconstruction, qname,
+                                             pairs, matches)
+            best = {"success": False, "num_inliers": -1}
+            for cluster in clusters:
+                sub_pairs = [p for p in pairs
+                             if qname in p and (p[0] in cluster
+                                                or p[1] in cluster)]
+                p2D_idxs, p3D_ids = build_query_correspondences(
+                    localizer.reconstruction, qname, sub_pairs, matches)
+                if not p2D_idxs:
+                    continue
+                pose = localizer.localize(keypoints[qname], p2D_idxs,
+                                          p3D_ids, qcam,
+                                          image_path=image_path)
+                if pose.get("success") and \
+                        pose.get("num_inliers", 0) > best["num_inliers"]:
+                    best = pose
+            results[qname] = best if best["num_inliers"] >= 0 \
+                else {"success": False}
+            continue
         p2D_idxs, p3D_ids = build_query_correspondences(
             localizer.reconstruction, qname, pairs, matches)
         if not p2D_idxs:
             results[qname] = {"success": False}
             continue
-        pose = localizer.localize(
-            keypoints[qname], p2D_idxs, p3D_ids, qcam,
-            image_path=(Path(image_dir) / qname) if image_dir else None)
+        pose = localizer.localize(keypoints[qname], p2D_idxs, p3D_ids, qcam,
+                                  image_path=image_path)
         results[qname] = pose
     return results
 
