@@ -376,7 +376,12 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
     tot = dict(initial_cost=0.0, final_cost=0.0, num_problems=P, iterations=0)
     if free_mask is None:
         free_mask = np.ones(P, bool)
-    chunk = min(chunk, max(P, 1))
+    # bucket the chunk size to powers of two so repeated queries of similar
+    # size reuse the compiled program (recompiles are expensive on TPU)
+    if P:
+        chunk = min(chunk, 1 << max(int(np.ceil(np.log2(max(P, 1)))), 3))
+    else:
+        chunk = 8
     n_chunks = int(np.ceil(P / chunk)) if P else 0
     for ci in range(n_chunks):
         sl = slice(ci * chunk, min((ci + 1) * chunk, P))

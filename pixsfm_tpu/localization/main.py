@@ -305,6 +305,64 @@ class QueryKeypointAdjuster:
 # QBA
 # ---------------------------------------------------------------------------
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _compiled_qba(model: str, interp_key, loss_key, max_iters: int):
+    """Jitted pose-only damped Newton, cached per static configuration;
+    per-query arrays are traced arguments (padded to shape buckets)."""
+    interp = InterpolationConfig(mode=interp_key[0], l2_normalize=interp_key[1],
+                                 ncc_normalize=interp_key[2])
+    from ..base.losses import RobustLoss
+    loss = RobustLoss(loss_key[0], list(loss_key[1]))
+
+    @jax.jit
+    def run(q0, t0, cam_params, patches, rows, corners, scales, ups, X,
+            targets, tw):
+        def residual_cost(d, q0_, t0_):
+            q = quat_normalize(quat_mul(exp_quat(d[:3]), q0_))
+            t = t0_ + d[3:]
+
+            def per_corr(row, corner, scale, up, Xi, tgt, w):
+                xy = world_to_pixel(model, cam_params, q, t, Xi)
+                pc = (xy * scale - 0.5 - corner) * up
+                f = interpolate(patches[row], pc[1], pc[0], interp)
+                r = f[None, :] - tgt
+                s = jnp.sum(r * r, axis=-1)
+                return jnp.sum(w * loss(s))
+
+            costs = jax.vmap(per_corr)(rows, corners, scales, ups, X,
+                                       targets, tw)
+            return 0.5 * jnp.sum(costs)
+
+        def body(carry, _):
+            q, t, lam, cost = carry
+            zero = jnp.zeros(6, jnp.float32)
+            g = jax.grad(residual_cost)(zero, q, t)
+            H = jax.hessian(residual_cost)(zero, q, t)
+            D = jnp.clip(jnp.diag(H), 1e-8, 1e32)
+            d = -jnp.linalg.solve(H + lam * jnp.diag(D)
+                                  + 1e-8 * jnp.eye(6), g)
+            q_new = quat_normalize(quat_mul(exp_quat(d[:3]), q))
+            t_new = t + d[3:]
+            new_cost = residual_cost(zero, q_new, t_new)
+            accept = new_cost < cost
+            return (jnp.where(accept, q_new, q),
+                    jnp.where(accept, t_new, t),
+                    jnp.where(accept, lam / 3.0, lam * 4.0),
+                    jnp.where(accept, new_cost, cost)), None
+
+        zero = jnp.zeros(6, jnp.float32)
+        cost0 = residual_cost(zero, q0, t0)
+        (q, t, _, cost), _ = jax.lax.scan(
+            body, (q0, t0, jnp.asarray(1e-4, jnp.float32), cost0),
+            None, length=max_iters)
+        return q, t, cost0, cost
+
+    return run
+
+
 class QueryBundleAdjuster:
     """Pose-only featuremetric refinement (reference: localization/main.py:194-258
     + single_query_bundle_optimizer.h:27-170)."""
@@ -357,60 +415,38 @@ class QueryBundleAdjuster:
             targets[i, :len(r2)] = r2
             tw[i, :len(r2)] = 1.0
 
-        pj = jnp.asarray(patches)
-        cj = jnp.asarray(corners)[rows]
-        sj = jnp.asarray(scales)[rows]
-        uj = jnp.asarray(ups)[rows]
-        rj = jnp.asarray(rows)
-        Xj = jnp.asarray(X)
-        tj = jnp.asarray(targets)
-        twj = jnp.asarray(tw)
-        cam_params = jnp.asarray(camera.params, jnp.float32)
-        model = camera.model
+        # pad counts to power-of-two buckets so repeated queries reuse the
+        # compiled program
+        def bucket(n):
+            return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 2)
 
-        def residual_cost(d, q0, t0):
-            q = quat_normalize(quat_mul(exp_quat(d[:3]), q0))
-            t = t0 + d[3:]
+        n = len(sel)
+        n_pad = bucket(n)
+        np_pad = bucket(patches.shape[0])
+        pad_n = n_pad - n
 
-            def per_corr(row, corner, scale, up, Xi, tgt, w):
-                xy = world_to_pixel(model, cam_params, q, t, Xi)
-                pc = (xy * scale - 0.5 - corner) * up
-                f = interpolate(pj[row], pc[1], pc[0], interp)
-                r = f[None, :] - tgt                      # [T, C]
-                s = jnp.sum(r * r, axis=-1)
-                return jnp.sum(w * loss(s))
+        def padn(a, fill=0):
+            return np.concatenate(
+                [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
+                if pad_n else a
 
-            costs = jax.vmap(per_corr)(rj, cj, sj, uj, Xj, tj, twj)
-            return 0.5 * jnp.sum(costs)
+        patches_p = np.concatenate(
+            [patches, np.zeros((np_pad - patches.shape[0],)
+                               + patches.shape[1:], patches.dtype)]) \
+            if np_pad > patches.shape[0] else patches
 
-        @jax.jit
-        def run(q0, t0):
-            def body(carry, _):
-                q, t, lam, cost = carry
-                zero = jnp.zeros(6, jnp.float32)
-                g = jax.grad(residual_cost)(zero, q, t)
-                H = jax.hessian(residual_cost)(zero, q, t)
-                D = jnp.clip(jnp.diag(H), 1e-8, 1e32)
-                d = -jnp.linalg.solve(H + lam * jnp.diag(D)
-                                      + 1e-8 * jnp.eye(6), g)
-                q_new = quat_normalize(quat_mul(exp_quat(d[:3]), q))
-                t_new = t + d[3:]
-                new_cost = residual_cost(zero, q_new, t_new)
-                accept = new_cost < cost
-                return (jnp.where(accept, q_new, q),
-                        jnp.where(accept, t_new, t),
-                        jnp.where(accept, lam / 3.0, lam * 4.0),
-                        jnp.where(accept, new_cost, cost)), None
-
-            zero = jnp.zeros(6, jnp.float32)
-            cost0 = residual_cost(zero, q0, t0)
-            (q, t, _, cost), _ = jax.lax.scan(
-                body, (q0, t0, jnp.asarray(1e-4, jnp.float32), cost0),
-                None, length=max_iters)
-            return q, t, cost0, cost
-
-        q, t, c0, c1 = run(jnp.asarray(qvec, jnp.float32),
-                           jnp.asarray(tvec, jnp.float32))
+        run = _compiled_qba(camera.model,
+                            (interp.mode, interp.l2_normalize,
+                             interp.ncc_normalize),
+                            (loss.name, tuple(loss.params)), max_iters)
+        q, t, c0, c1 = run(
+            jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
+            jnp.asarray(camera.params, jnp.float32),
+            jnp.asarray(patches_p),
+            jnp.asarray(padn(rows)), jnp.asarray(padn(corners[rows])),
+            jnp.asarray(padn(scales[rows], 1)), jnp.asarray(padn(ups[rows], 1)),
+            jnp.asarray(padn(X)), jnp.asarray(padn(targets)),
+            jnp.asarray(padn(tw)))
         return dict(qvec=np.asarray(q, np.float64),
                     tvec=np.asarray(t, np.float64),
                     initial_cost=float(c0), final_cost=float(c1))

@@ -69,34 +69,27 @@ def _make_kernel(ps: int, C: int, l2_normalize: bool, block_b: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(rows_ref, rc_ref, patches_hbm, f_ref, dfdr_ref, dfdc_ref,
-               scratch, sem):
+    def kernel(rows_ref, wr_ref, dwr_ref, wc_ref, dwc_ref, patches_hbm,
+               f_ref, dfdr_ref, dfdc_ref, scratch, sem):
         b0 = pl.program_id(0) * block_b
 
-        def body(i, _):
-            b = b0 + i
-            row = rows_ref[b]
-            dma = pltpu.make_async_copy(patches_hbm.at[row], scratch.at[i],
-                                        sem.at[i])
-            dma.start()
+        def start_dma(i, _):
+            row = rows_ref[b0 + i]
+            pltpu.make_async_copy(patches_hbm.at[row], scratch.at[i],
+                                  sem.at[i]).start()
             return 0
 
-        jax.lax.fori_loop(0, block_b, body, 0)
+        jax.lax.fori_loop(0, block_b, start_dma, 0)
 
         def compute(i, _):
-            b = b0 + i
-            pltpu.make_async_copy(patches_hbm.at[b0 * 0], scratch.at[i],
+            row = rows_ref[b0 + i]
+            pltpu.make_async_copy(patches_hbm.at[row], scratch.at[i],
                                   sem.at[i]).wait()
-            r = rc_ref[b, 0]
-            c = rc_ref[b, 1]
-            wr4, dwr4 = _weights4(r - jnp.floor(r))
-            wc4, dwc4 = _weights4(c - jnp.floor(c))
-            wr = _dense_weights(r, ps, wr4)
-            dwr = _dense_weights(r, ps, dwr4)
-            wc = _dense_weights(c, ps, wc4)
-            dwc = _dense_weights(c, ps, dwc4)
-
             patch = scratch[i].astype(jnp.float32).reshape(ps, ps * C)
+            wr = wr_ref[i, :].reshape(1, ps)
+            dwr = dwr_ref[i, :].reshape(1, ps)
+            wc = wc_ref[i, :].reshape(1, ps)
+            dwc = dwc_ref[i, :].reshape(1, ps)
 
             def contract(wrow, wcol):
                 rowmix = jnp.dot(wrow, patch,
@@ -115,14 +108,30 @@ def _make_kernel(ps: int, C: int, l2_normalize: bool, block_b: int):
                 dc = dc * inv
                 dc = dc - jnp.sum(fn * dc) * fn
                 f = fn
-            f_ref[b, :] = f
-            dfdr_ref[b, :] = dr
-            dfdc_ref[b, :] = dc
+            f_ref[i, :] = f
+            dfdr_ref[i, :] = dr
+            dfdc_ref[i, :] = dc
             return 0
 
         jax.lax.fori_loop(0, block_b, compute, 0)
 
     return kernel
+
+
+def _dense_weights_batch(x, size):
+    """[B] coords -> ([B, size] weights, [B, size] d/dx weights), clamped taps."""
+    t = x - jnp.floor(x)
+    w4, dw4 = jax.vmap(_weights4)(t)          # [B, 4] each
+    base = jnp.floor(x).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+    w = jnp.zeros((x.shape[0], size), jnp.float32)
+    dw = jnp.zeros((x.shape[0], size), jnp.float32)
+    for k in range(4):
+        idx = jnp.clip(base + (k - 1), 0, size - 1)[:, None]
+        hit = (iota == idx)
+        w = w + jnp.where(hit, w4[:, k:k + 1], 0.0)
+        dw = dw + jnp.where(hit, dw4[:, k:k + 1], 0.0)
+    return w, dw
 
 
 def _pallas_interpolate(patches, rows, r, c, config: InterpolationConfig,
@@ -133,20 +142,31 @@ def _pallas_interpolate(patches, rows, r, c, config: InterpolationConfig,
     N, ps, ps2, C = patches.shape
     B = rows.shape[0]
     assert B % block_b == 0, "pad batch to a multiple of block_b"
-    rc = jnp.stack([r, c], axis=1).astype(jnp.float32)
+
+    # dense Catmull-Rom weights precomputed by XLA (tiny); the kernel is pure
+    # DMA + MXU contractions + normalization
+    wr, dwr = _dense_weights_batch(r.astype(jnp.float32), ps)
+    wc, dwc = _dense_weights_batch(c.astype(jnp.float32), ps)
 
     kernel = _make_kernel(ps, C, config.l2_normalize, block_b)
+
+    def blk(i, *_):  # index_map also receives the scalar-prefetch refs
+        return (i, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // block_b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # rc
-            pl.BlockSpec(memory_space=pl.ANY),    # patches stay in HBM
+            pl.BlockSpec((block_b, ps), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, ps), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, ps), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, ps), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # patches stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, C), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, C), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, C), blk, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_b, ps, ps, C), patches.dtype),
@@ -156,7 +176,8 @@ def _pallas_interpolate(patches, rows, r, c, config: InterpolationConfig,
     out_shape = [jax.ShapeDtypeStruct((B, C), jnp.float32)] * 3
     f, dfdr, dfdc = pl.pallas_call(
         kernel, out_shape=out_shape, grid_spec=grid_spec,
-        interpret=interpret)(rows.astype(jnp.int32), rc, patches)
+        interpret=interpret)(rows.astype(jnp.int32), wr, dwr, wc, dwc,
+                             patches)
     return f, dfdr, dfdc
 
 
