@@ -166,12 +166,14 @@ class Reconstruction:
             for im in self.images.values():
                 if not im.registered:
                     continue
-                q, t = im.qvec, im.tvec
-                f.write(f"{im.image_id} {q[0]!r} {q[1]!r} {q[2]!r} {q[3]!r} "
-                        f"{t[0]!r} {t[1]!r} {t[2]!r} {im.camera_id} {im.name}\n")
+                q = [repr(float(v)) for v in im.qvec]
+                t = [repr(float(v)) for v in im.tvec]
+                f.write(f"{im.image_id} {q[0]} {q[1]} {q[2]} {q[3]} "
+                        f"{t[0]} {t[1]} {t[2]} {im.camera_id} {im.name}\n")
                 parts = []
                 for (x, y), pid in zip(im.xys, im.point3D_ids):
-                    parts.append(f"{x!r} {y!r} {pid if pid >= 0 else -1}")
+                    parts.append(f"{float(x)!r} {float(y)!r} "
+                                 f"{pid if pid >= 0 else -1}")
                 f.write(" ".join(parts) + "\n")
         with open(path / "points3D.txt", "w") as f:
             f.write("# 3D point list: POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
@@ -180,7 +182,7 @@ class Reconstruction:
                 xyz = " ".join(repr(float(v)) for v in p.xyz)
                 rgb = " ".join(str(int(v)) for v in p.color)
                 track = " ".join(f"{iid} {pi}" for iid, pi in p.track)
-                f.write(f"{p.point3D_id} {xyz} {rgb} {p.error!r} {track}\n")
+                f.write(f"{p.point3D_id} {xyz} {rgb} {float(p.error)!r} {track}\n")
 
     @classmethod
     def read_text(cls, path) -> "Reconstruction":
