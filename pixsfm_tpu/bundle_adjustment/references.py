@@ -47,6 +47,36 @@ class Reference:
         return self.observations is not None
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _compiled_node_eval(interp_key):
+    from ..util.jit_cache import interp_from_key
+
+    interp = interp_from_key(interp_key)
+
+    @jax.jit
+    def run(patches, r, c):
+        def one(p, rr, cc):
+            return interpolate_nodes(p, rr, cc, interp).reshape(-1)
+        return jax.vmap(one)(patches, r, c)
+
+    return run
+
+
+@lru_cache(maxsize=32)
+def _compiled_irls(loss_key, iters: int, l2_normalize: bool):
+    loss = RobustLoss(loss_key[0], list(loss_key[1]))
+
+    @jax.jit
+    def run(td, tv):
+        return jax.vmap(lambda d, v: robust_mean_irls(
+            d, v, loss, iters, l2_normalize=l2_normalize))(td, tv)
+
+    return run
+
+
 def robust_mean_irls(descriptors: jnp.ndarray, valid: jnp.ndarray,
                      loss: RobustLoss, iters: int,
                      l2_normalize: bool = True) -> jnp.ndarray:
@@ -103,21 +133,26 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
     C = pf.channels
     D = n_nodes * C
 
-    # flatten all track observations; compute reprojected locations
-    obs_pt, obs_row, obs_xy, obs_track = [], [], [], []
+    # flatten all track observations; reprojected locations batched per image
+    from ..localization.pnp import project_np
+
+    per_image: Dict[int, list] = {}
     for s, pid in enumerate(pids):
-        p3D = reconstruction.points3D[pid]
-        for (iid, p2D_idx) in p3D.track:
-            im = reconstruction.images[iid]
-            cam = reconstruction.cameras[im.camera_id]
-            x_cam = im.world_to_camera(p3D.xyz)[0]
-            if x_cam[2] <= 1e-6:
+        for (iid, p2D_idx) in reconstruction.points3D[pid].track:
+            per_image.setdefault(iid, []).append((s, pid, int(p2D_idx)))
+    obs_pt, obs_row, obs_xy, obs_track = [], [], [], []
+    for iid, items in per_image.items():
+        im = reconstruction.images[iid]
+        cam = reconstruction.cameras[im.camera_id]
+        X = np.stack([reconstruction.points3D[pid].xyz for _, pid, _ in items])
+        xy, depth = project_np(cam, im.qvec, im.tvec, X)
+        for (s, pid, p2D_idx), xyi, z in zip(items, xy, depth):
+            if z <= 1e-6:
                 continue
-            xy = cam.img_from_cam(x_cam[:2] / x_cam[2])
             obs_pt.append(s)
-            obs_row.append(pf.row(im.name, int(p2D_idx)))
-            obs_xy.append(xy)
-            obs_track.append((iid, int(p2D_idx)))
+            obs_row.append(pf.row(im.name, p2D_idx))
+            obs_xy.append(xyi)
+            obs_track.append((iid, p2D_idx))
     if not obs_pt:
         return {}
 
@@ -125,25 +160,37 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
     obs_row = np.asarray(obs_row, np.int32)
     obs_xy = np.asarray(obs_xy, np.float64)
 
-    # batched descriptor interpolation at reprojections
-    patches = jnp.asarray(pf.patches)
-    corners = jnp.asarray(pf.corners.astype(np.float32))[obs_row]
-    scales = jnp.asarray(pf.scales.astype(np.float32))[obs_row]
-    ups = jnp.asarray(pf.upsampling.astype(np.float32))[obs_row]
-    xy = jnp.asarray(obs_xy.astype(np.float32))
-    pc = (xy * scales - 0.5 - corners) * ups[:, None]
+    # batched descriptor interpolation at reprojections (cached compile;
+    # batch padded to power-of-two buckets)
+    from ..util.jit_cache import bucket, interp_static_key
 
-    @jax.jit
-    def interp_all(rows, r, c):
-        def one(row, rr, cc):
-            return interpolate_nodes(patches[row], rr, cc, interp).reshape(-1)
-        return jax.vmap(one)(rows, r, c)
+    n_obs = len(obs_row)
+    n_pad = bucket(n_obs)
+    patches_g = np.asarray(pf.patches)[obs_row]
+    if n_pad > n_obs:
+        patches_g = np.concatenate(
+            [patches_g, np.zeros((n_pad - n_obs,) + patches_g.shape[1:],
+                                 patches_g.dtype)])
 
-    desc = np.asarray(interp_all(jnp.asarray(obs_row), pc[:, 1], pc[:, 0]))
+    def pad(a, fill=0.0):
+        a = np.asarray(a, np.float32)
+        return a if n_pad == n_obs else np.concatenate(
+            [a, np.full((n_pad - n_obs,) + a.shape[1:], fill, np.float32)])
+
+    corners = pad(pf.corners[obs_row])
+    scales = pad(pf.scales[obs_row], 1.0)
+    ups = pad(pf.upsampling[obs_row], 1.0)
+    xy_p = pad(obs_xy)
+    pc = (xy_p * scales - 0.5 - corners) * ups[:, None]
+
+    run = _compiled_node_eval(interp_static_key(interp))
+    desc = np.asarray(run(jnp.asarray(patches_g), jnp.asarray(pc[:, 1]),
+                          jnp.asarray(pc[:, 0])))[:n_obs]
 
     # pad tracks to T_max and run IRLS batched over points
     counts = np.bincount(obs_pt, minlength=len(pids))
-    T = max(int(counts.max()), 1)
+    from ..util.jit_cache import bucket
+    T = bucket(int(counts.max()) if len(counts) else 1, minimum=2)
     track_desc = np.zeros((len(pids), T, D), np.float32)
     track_valid = np.zeros((len(pids), T), bool)
     slot = np.zeros(len(pids), np.int64)
@@ -154,11 +201,8 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
         track_valid[s, slot[s]] = True
         slot[s] += 1
 
-    @jax.jit
-    def run_irls(td, tv):
-        return jax.vmap(lambda d, v: robust_mean_irls(
-            d, v, loss, iters, l2_normalize=interp.l2_normalize))(td, tv)
-
+    run_irls = _compiled_irls((loss.name, tuple(loss.params)), iters,
+                              interp.l2_normalize)
     means = np.asarray(run_irls(jnp.asarray(track_desc),
                                 jnp.asarray(track_valid)))
 

@@ -93,25 +93,25 @@ def features_from_reconstruction(extractor: FeatureExtractor,
                                  cache_path=None) -> FeatureManager:
     """Extract at reprojected locations of triangulated observations only
     (reference: extract.py:153-194)."""
+    from .localization.pnp import project_np
+
     kp_per_image: Dict[str, np.ndarray] = {}
     ids_per_image: Dict[str, List[int]] = {}
     for im in reconstruction.images.values():
         if not im.registered:
             continue
         cam = reconstruction.cameras[im.camera_id]
-        ids, xys = [], []
-        for p2D_idx, pid in enumerate(im.point3D_ids):
-            if pid < 0 or pid not in reconstruction.points3D:
-                continue
-            X = reconstruction.points3D[pid].xyz
-            x_cam = im.world_to_camera(X)[0]
-            if x_cam[2] <= 0:
-                continue
-            xys.append(cam.img_from_cam(x_cam[:2] / x_cam[2]))
-            ids.append(p2D_idx)
-        if ids:
-            kp_per_image[im.name] = np.asarray(xys)
-            ids_per_image[im.name] = ids
+        tri = [(p2D_idx, pid) for p2D_idx, pid in enumerate(im.point3D_ids)
+               if pid >= 0 and pid in reconstruction.points3D]
+        if not tri:
+            continue
+        X = np.stack([reconstruction.points3D[pid].xyz for _, pid in tri])
+        xy, depth = project_np(cam, im.qvec, im.tvec, X)
+        keep = depth > 0
+        if keep.any():
+            kp_per_image[im.name] = xy[keep]
+            ids_per_image[im.name] = [tri[i][0]
+                                      for i in np.nonzero(keep)[0]]
     return features_from_image_list(
         extractor, sorted(kp_per_image.keys()), image_dir, kp_per_image,
         keypoint_ids_per_image=ids_per_image, cache_path=cache_path)

@@ -270,25 +270,54 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
     return system_fn, cost_fn
 
 
-def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
-                         interp: InterpolationConfig) -> np.ndarray:
-    """Batched descriptor lookup at image coords (no gradients) — used to freeze
-    root/reference descriptors. Returns [N, C] float32."""
+@lru_cache(maxsize=32)
+def _compiled_descriptor_eval(interp_key):
     from ..base.interpolation import interpolate
+    from ..util.jit_cache import interp_from_key
 
-    patches = jnp.asarray(packed_patches)[np.asarray(rows)]
-    kps = jnp.asarray(np.asarray(kps, np.float32))
-    corners = jnp.asarray(np.asarray(corners, np.float32))
-    scales = jnp.asarray(np.asarray(scales, np.float32))
-    ups = jnp.asarray(np.asarray(ups, np.float32))
-    uv = (kps * scales - 0.5 - corners) * ups[..., None]
+    interp = interp_from_key(interp_key)
 
     @jax.jit
     def run(patches, r, c):
         return jax.vmap(lambda p, rr, cc: interpolate(p, rr, cc, interp))(
             patches, r, c)
 
-    return np.asarray(run(patches, uv[..., 1], uv[..., 0]))
+    return run
+
+
+def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
+                         interp: InterpolationConfig) -> np.ndarray:
+    """Batched descriptor lookup at image coords (no gradients) — used to freeze
+    root/reference descriptors. Returns [N, C] float32. Batch sizes are padded
+    to power-of-two buckets so repeat calls hit the compiled cache."""
+    from ..util.jit_cache import bucket
+
+    rows = np.asarray(rows)
+    n = len(rows)
+    n_pad = bucket(n)
+    patches = np.asarray(packed_patches)[rows]
+    if n_pad > n:
+        patches = np.concatenate(
+            [patches, np.zeros((n_pad - n,) + patches.shape[1:],
+                               patches.dtype)])
+
+    def pad(a, fill=0.0):
+        a = np.asarray(a, np.float32)
+        if n_pad == n:
+            return a
+        return np.concatenate([a, np.full((n_pad - n,) + a.shape[1:], fill,
+                                          np.float32)])
+
+    kps_p = pad(kps)
+    corners_p = pad(corners)
+    scales_p = pad(scales, 1.0)
+    ups_p = pad(ups, 1.0)
+    uv = (kps_p * scales_p - 0.5 - corners_p) * ups_p[..., None]
+
+    run = _compiled_descriptor_eval(_interp_key(interp))
+    out = np.asarray(run(jnp.asarray(patches), jnp.asarray(uv[..., 1]),
+                         jnp.asarray(uv[..., 0])))
+    return out[:n]
 
 
 def make_target_system(all_patches, interp: InterpolationConfig,

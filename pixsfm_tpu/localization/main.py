@@ -68,20 +68,14 @@ def find_feature_inliers(points2D, query_fmap: FeatureMap, references,
     n = len(points2D)
     if thresh < 0:
         return [True] * n
+    from ..keypoint_adjustment.solver import evaluate_descriptors
+
     patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
     rows = _rows_for(query_fmap, row_of,
                      point2D_idxs if point2D_idxs is not None else range(n))
-    kp = np.asarray(points2D, np.float32)
-    pc = (kp * scales[rows] - 0.5 - corners[rows]) * ups[rows][:, None]
-    pj = jnp.asarray(patches)
-
-    @jax.jit
-    def q_desc(rows, r, c):
-        return jax.vmap(lambda row, rr, cc: interpolate(
-            pj[row], rr, cc, interp).reshape(-1))(rows, r, c)
-
-    qd = np.asarray(q_desc(jnp.asarray(rows), jnp.asarray(pc[:, 1]),
-                           jnp.asarray(pc[:, 0])))
+    kp = np.asarray(points2D, np.float64)
+    qd = evaluate_descriptors(patches, rows, kp, corners[rows], scales[rows],
+                              ups[rows], interp)
     inliers = []
     for i in range(n):
         ref = np.asarray(references[i])
@@ -162,22 +156,15 @@ def find_nearest_references(query_fmap: FeatureMap, references: Dict,
     """Per correspondence: the stored track-observation descriptor closest to the
     query descriptor at the current keypoint (reference:
     localization/src/nearest_references.h:20-52)."""
+    from ..keypoint_adjustment.solver import evaluate_descriptors
+
     patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
     rows = _rows_for(query_fmap, row_of,
                      patch_idxs if patch_idxs is not None
                      else range(len(points2D)))
-    kp = np.asarray(points2D, np.float32)
-    pc = (kp * scales[rows] - 0.5 - corners[rows]) * ups[rows][:, None]
-
-    pj = jnp.asarray(patches)
-
-    @jax.jit
-    def q_desc(rows, r, c):
-        return jax.vmap(lambda row, rr, cc: interpolate(
-            pj[row], rr, cc, interp).reshape(-1))(rows, r, c)
-
-    qd = np.asarray(q_desc(jnp.asarray(rows), jnp.asarray(pc[:, 1]),
-                           jnp.asarray(pc[:, 0])))
+    kp = np.asarray(points2D, np.float64)
+    qd = evaluate_descriptors(patches, rows, kp, corners[rows], scales[rows],
+                              ups[rows], interp)
     out = []
     for i, pid in enumerate(points3D_id):
         ref = references[pid]

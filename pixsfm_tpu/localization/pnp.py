@@ -50,35 +50,75 @@ def _dlt_pose(uv: np.ndarray, X: np.ndarray):
     return R, t
 
 
+def _quat_to_rotmat_np(q):
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def project_np(camera: Camera, qvec, tvec, X):
+    """Pure-numpy batched projection (forward distortion only) — RANSAC
+    hypothesis scoring must not round-trip to the device per iteration."""
+    R = _quat_to_rotmat_np(qvec)
+    x_cam = (R @ np.atleast_2d(X).T).T + np.asarray(tvec)
+    z = x_cam[:, 2]
+    uv = x_cam[:, :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[:, None]
+    p = camera.params
+    model = camera.model
+    u, v = uv[:, 0], uv[:, 1]
+    if model == "SIMPLE_PINHOLE":
+        d = uv
+        fx = fy = p[0]; cx, cy = p[1], p[2]
+    elif model == "PINHOLE":
+        d = uv
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+    elif model == "SIMPLE_RADIAL":
+        r2 = u * u + v * v
+        d = uv * (1.0 + p[3] * r2)[:, None]
+        fx = fy = p[0]; cx, cy = p[1], p[2]
+    elif model == "RADIAL":
+        r2 = u * u + v * v
+        d = uv * (1.0 + r2 * (p[3] + p[4] * r2))[:, None]
+        fx = fy = p[0]; cx, cy = p[1], p[2]
+    elif model == "OPENCV":
+        k1, k2, p1, p2 = p[4], p[5], p[6], p[7]
+        r2 = u * u + v * v
+        radial = 1.0 + r2 * (k1 + k2 * r2)
+        du = u * radial + 2 * p1 * u * v + p2 * (r2 + 2 * u * u)
+        dv = v * radial + p1 * (r2 + 2 * v * v) + 2 * p2 * u * v
+        d = np.stack([du, dv], axis=1)
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+    else:
+        raise ValueError(f"project_np: unsupported model {model}")
+    xy = np.stack([fx * d[:, 0] + cx, fy * d[:, 1] + cy], axis=1)
+    return xy, z
+
+
 def _reproj_errors(camera: Camera, qvec, tvec, X, xy):
-    import jax.numpy as jnp
-    proj = np.asarray(world_to_pixel(camera.model, jnp.asarray(camera.params),
-                                     jnp.asarray(qvec), jnp.asarray(tvec),
-                                     jnp.asarray(X)))
-    depths = (np.asarray(quat_to_rotmat(jnp.asarray(qvec))) @ X.T).T[:, 2] \
-        + tvec[2]
+    proj, depths = project_np(camera, qvec, tvec, X)
     err = np.linalg.norm(proj - xy, axis=1)
     err[depths <= 0] = np.inf
     return err
 
 
-def pose_refinement(camera: Camera, qvec, tvec, X, xy,
-                    iters: int = 30) -> Dict:
-    """Pose-only damped Gauss-Newton on reprojection error (refinement stage of
-    pycolmap.absolute_pose_estimation)."""
-    Xj = jnp.asarray(X, jnp.float32)
-    xyj = jnp.asarray(xy, jnp.float32)
-    params = jnp.asarray(camera.params, jnp.float32)
-    model = camera.model
+from functools import lru_cache
 
-    def residuals(d, q0, t0):
-        q = quat_normalize(quat_mul(exp_quat(d[:3]), q0))
-        t = t0 + d[3:]
-        proj = world_to_pixel(model, params, q, t, Xj)
-        return (proj - xyj).reshape(-1)
 
+@lru_cache(maxsize=32)
+def _compiled_pose_refine(model: str, iters: int):
     @jax.jit
-    def run(q0, t0):
+    def run(q0, t0, params, Xj, xyj, w):
+        def residuals(d, q, t):
+            qq = quat_normalize(quat_mul(exp_quat(d[:3]), q))
+            tt = t + d[3:]
+            proj = world_to_pixel(model, params, qq, tt, Xj)
+            return ((proj - xyj) * w[:, None]).reshape(-1)
+
         def body(carry, _):
             q, t, lam, cost = carry
             zero = jnp.zeros(6, jnp.float32)
@@ -90,8 +130,7 @@ def pose_refinement(camera: Camera, qvec, tvec, X, xy,
             d = -jnp.linalg.solve(H + lam * jnp.diag(D), g)
             q_new = quat_normalize(quat_mul(exp_quat(d[:3]), q))
             t_new = t + d[3:]
-            new_cost = 0.5 * jnp.sum(
-                residuals(zero, q_new, t_new) ** 2)
+            new_cost = 0.5 * jnp.sum(residuals(zero, q_new, t_new) ** 2)
             accept = new_cost < cost
             q = jnp.where(accept, q_new, q)
             t = jnp.where(accept, t_new, t)
@@ -106,8 +145,33 @@ def pose_refinement(camera: Camera, qvec, tvec, X, xy,
             None, length=iters)
         return q, t, cost
 
+    return run
+
+
+def pose_refinement(camera: Camera, qvec, tvec, X, xy,
+                    iters: int = 30) -> Dict:
+    """Pose-only damped Gauss-Newton on reprojection error (refinement stage of
+    pycolmap.absolute_pose_estimation). Compiled program cached per
+    (model, iters); batch padded to power-of-two buckets."""
+    from ..util.jit_cache import bucket
+
+    n = len(X)
+    n_pad = bucket(n)
+
+    def pad(a, fill=0.0):
+        a = np.asarray(a, np.float32)
+        return a if n_pad == n else np.concatenate(
+            [a, np.full((n_pad - n,) + a.shape[1:], fill, np.float32)])
+
+    w = np.zeros(n_pad, np.float32)
+    w[:n] = 1.0
+    Xp = pad(X)
+    Xp[n:] = [0, 0, 10.0]  # padded points safely in front
+    run = _compiled_pose_refine(camera.model, iters)
     q, t, cost = run(jnp.asarray(qvec, jnp.float32),
-                     jnp.asarray(tvec, jnp.float32))
+                     jnp.asarray(tvec, jnp.float32),
+                     jnp.asarray(camera.params, jnp.float32),
+                     jnp.asarray(Xp), jnp.asarray(pad(xy)), jnp.asarray(w))
     return dict(qvec=np.asarray(q, np.float64),
                 tvec=np.asarray(t, np.float64), cost=float(cost))
 

@@ -120,17 +120,20 @@ class Reconstruction:
                               for p in self.points3D.values()]))
 
     def mean_reprojection_error(self) -> float:
-        errs = []
-        for p in self.points3D.values():
+        from ..localization.pnp import _reproj_errors
+
+        per_image: Dict[int, list] = {}
+        for pid, p in self.points3D.items():
             for image_id, p2D_idx in p.track:
-                im = self.images[image_id]
-                cam = self.cameras[im.camera_id]
-                x_cam = im.world_to_camera(p.xyz)[0]
-                if x_cam[2] <= 0:
-                    continue
-                uv = x_cam[:2] / x_cam[2]
-                xy = cam.img_from_cam(uv)
-                errs.append(np.linalg.norm(xy - im.xys[p2D_idx]))
+                per_image.setdefault(image_id, []).append((pid, p2D_idx))
+        errs = []
+        for iid, items in per_image.items():
+            im = self.images[iid]
+            cam = self.cameras[im.camera_id]
+            X = np.stack([self.points3D[pid].xyz for pid, _ in items])
+            xy = im.xys[[k for _, k in items]]
+            e = _reproj_errors(cam, im.qvec, im.tvec, X, xy)
+            errs.extend(e[np.isfinite(e)].tolist())
         return float(np.mean(errs)) if errs else 0.0
 
     def copy(self) -> "Reconstruction":

@@ -26,22 +26,31 @@ from .model import Image, Point3D, Reconstruction
 __all__ = ["triangulate_tracks", "triangulate_reconstruction"]
 
 
+@jax.jit
+def _tri_solve(A):
+    def one(Ai):
+        _, _, Vt = jnp.linalg.svd(Ai, full_matrices=False)
+        X = Vt[-1]
+        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+    return jax.vmap(one)(A)
+
+
 def _triangulate_batch(P_rows: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """P_rows: [N, T, 2, 4] per-observation DLT constraint pairs; valid [N, T].
-    Returns [N, 3] triangulated points (homogeneous SVD)."""
-    A = jnp.asarray(P_rows).reshape(P_rows.shape[0], -1, 4)
+    Returns [N, 3] triangulated points (homogeneous SVD). T is padded to
+    power-of-two buckets so repeated calls reuse the compiled program."""
+    from ..util.jit_cache import bucket
+
+    N, T = valid.shape
+    T_pad = bucket(T, minimum=2)
+    if T_pad > T:
+        P_rows = np.concatenate(
+            [P_rows, np.zeros((N, T_pad - T, 2, 4), P_rows.dtype)], axis=1)
+        valid = np.concatenate(
+            [valid, np.zeros((N, T_pad - T), bool)], axis=1)
+    A = jnp.asarray(P_rows).reshape(N, -1, 4)
     m = jnp.repeat(jnp.asarray(valid), 2, axis=1)[..., None]
-    A = A * m
-
-    @jax.jit
-    def solve(A):
-        def one(Ai):
-            _, _, Vt = jnp.linalg.svd(Ai, full_matrices=False)
-            X = Vt[-1]
-            return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
-        return jax.vmap(one)(A)
-
-    return np.asarray(solve(A))
+    return np.asarray(_tri_solve(A * m))
 
 
 def triangulate_tracks(
@@ -63,14 +72,19 @@ def triangulate_tracks(
     image_ids_arr, feature_idxs = graph.nodes_array()
     name_of = graph.image_id_to_name
 
-    # per-image projection matrices (normalized coords) and centers
+    # per-image projection matrices (normalized coords), centers, and
+    # batched undistorted keypoints (one device call per image, not per node)
     name_to_image = {im.name: im for im in reconstruction.images.values()}
     P_of: Dict[str, np.ndarray] = {}
     center_of: Dict[str, np.ndarray] = {}
+    uv_of: Dict[str, np.ndarray] = {}
     for name, im in name_to_image.items():
         R = im.rotation_matrix()
         P_of[name] = np.hstack([R, im.tvec[:, None]])
         center_of[name] = im.projection_center()
+        if name in keypoints and len(keypoints[name]):
+            cam = reconstruction.cameras[im.camera_id]
+            uv_of[name] = cam.cam_from_img(np.asarray(keypoints[name]))
 
     n_tracks = int(track_labels.max()) + 1 if graph.num_nodes else 0
     track_nodes: List[List[int]] = [[] for _ in range(n_tracks)]
@@ -91,11 +105,9 @@ def triangulate_tracks(
         for k, nid in enumerate(nodes):
             name = name_of[int(image_ids_arr[nid])]
             im = name_to_image.get(name)
-            if im is None:
+            if im is None or name not in uv_of:
                 continue
-            cam = reconstruction.cameras[im.camera_id]
-            xy = keypoints[name][int(feature_idxs[nid])]
-            uv = cam.cam_from_img(xy)
+            uv = uv_of[name][int(feature_idxs[nid])]
             P = P_of[name]
             rows[ti, k, 0] = uv[0] * P[2] - P[0]
             rows[ti, k, 1] = uv[1] * P[2] - P[1]
@@ -104,7 +116,29 @@ def triangulate_tracks(
 
     X = _triangulate_batch(rows, valid)
 
-    # acceptance tests
+    # batched acceptance: reprojection errors computed per image in numpy
+    from ..localization.pnp import _reproj_errors
+    obs_err: Dict[Tuple[int, int], float] = {}
+    per_image: Dict[str, List[Tuple[int, int, int]]] = {}
+    for ti, nodes in enumerate(tracks):
+        if not np.isfinite(X[ti]).all():
+            continue
+        for k, nid in enumerate(nodes):
+            if not valid[ti, k]:
+                continue
+            name = name_of[int(image_ids_arr[nid])]
+            if name in name_to_image:
+                per_image.setdefault(name, []).append(
+                    (ti, k, int(feature_idxs[nid])))
+    for name, items in per_image.items():
+        im = name_to_image[name]
+        cam = reconstruction.cameras[im.camera_id]
+        Xs = X[[it[0] for it in items]]
+        xys = keypoints[name][[it[2] for it in items]]
+        errs = _reproj_errors(cam, im.qvec, im.tvec, Xs, xys)
+        for (ti, k, _), e in zip(items, errs):
+            obs_err[(ti, k)] = float(e)
+
     min_angle = np.deg2rad(min_tri_angle_deg)
     next_pid = (max(reconstruction.points3D.keys()) + 1
                 if reconstruction.points3D else 0)
@@ -120,13 +154,7 @@ def triangulate_tracks(
                 continue
             name = name_of[int(image_ids_arr[nid])]
             im = name_to_image[name]
-            cam = reconstruction.cameras[im.camera_id]
-            x_cam = im.world_to_camera(xyz)[0]
-            if x_cam[2] <= 1e-6:
-                continue
-            proj = cam.img_from_cam(x_cam[:2] / x_cam[2])
-            xy = keypoints[name][int(feature_idxs[nid])]
-            if np.linalg.norm(proj - xy) > max_reproj_error:
+            if obs_err.get((ti, k), np.inf) > max_reproj_error:
                 continue
             track.append((im.image_id, int(feature_idxs[nid])))
             d = xyz - center_of[name]
