@@ -229,6 +229,14 @@ class Camera:
     def cam_from_img(self, xy):
         xy = np.asarray(xy, dtype=np.float64)
         single = xy.ndim == 1
+        batch = np.atleast_2d(xy)
+        # pad to power-of-two buckets: repeated calls with varying batch sizes
+        # must reuse the compiled undistortion program
+        n = len(batch)
+        n_pad = max(1 << int(np.ceil(np.log2(max(n, 1)))), 8)
+        if n_pad > n:
+            batch = np.concatenate(
+                [batch, np.zeros((n_pad - n, 2), batch.dtype)])
         out = np.asarray(cam_from_img_jit(self.model)(
-            jnp.asarray(self.params), jnp.asarray(np.atleast_2d(xy))))
+            jnp.asarray(self.params), jnp.asarray(batch)))[:n]
         return out[0] if single else out

@@ -160,22 +160,16 @@ def costmap_ba(adjuster, reconstruction: Reconstruction,
         name = reconstruction.images[int(packed.obs_image_id[i])].name
         rows[i] = pf.row(name, int(packed.obs_p2D_idx[i]))
 
-    patches = jnp.asarray(pf.patches)
-    corners = jnp.asarray(pf.corners.astype(np.float32))
-    scales = jnp.asarray(pf.scales.astype(np.float32))
-    ups = jnp.asarray(pf.upsampling.astype(np.float32))
-    obs_data = jnp.asarray(rows)
+    from ..util.jit_cache import interp_static_key
 
-    def residual_fn(qvec, tvec, cam, X, obs_slice):
-        row = obs_slice
-        x_cam = apply_pose(qvec, tvec, X)
-        uv = x_cam[:2] / x_cam[2]
-        xy = img_from_cam(model, cam, uv)
-        pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
-        return interpolate(patches[row], pc[1], pc[0], interp_cm)
-
-    return adjuster._run_ba(reconstruction, packed, residual_fn, obs_data,
-                            loss, opts)
+    ctx = (jnp.asarray(pf.patches),
+           jnp.asarray(pf.corners.astype(np.float32)),
+           jnp.asarray(pf.scales.astype(np.float32)),
+           jnp.asarray(pf.upsampling.astype(np.float32)))
+    return adjuster._run_ba_cached(
+        reconstruction, packed,
+        ("costmap", model, interp_static_key(interp_cm)),
+        rows, ctx, loss, opts)
 
 
 def _required_from_packed(reconstruction, packed) -> Dict[str, list]:

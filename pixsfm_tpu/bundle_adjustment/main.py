@@ -45,6 +45,84 @@ __all__ = ["BundleAdjuster", "GeometricBundleAdjuster",
            "PatchWarpBundleAdjuster"]
 
 
+# ---------------------------------------------------------------------------
+# cached compiled BA runners
+#
+# Residual builders are top-level factories keyed by static config so one
+# jitted instance of the full Schur LM serves every call with the same shapes
+# (problem sizes are padded to power-of-two buckets) — retraces through the
+# remote TPU tunnel cost minutes.
+# ---------------------------------------------------------------------------
+
+def _safe_project(model, cam, qvec, tvec, X):
+    x_cam = apply_pose(qvec, tvec, X)
+    z = x_cam[2]
+    z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    uv = x_cam[:2] / z
+    return img_from_cam(model, cam, uv)
+
+
+def _build_geometric(model):
+    def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        xy_obs = obs_slice
+        return _safe_project(model, cam, qvec, tvec, X) - xy_obs
+    return residual_fn
+
+
+def _build_feature_reference(model, interp_key):
+    from ..util.jit_cache import interp_from_key
+    interp = interp_from_key(interp_key)
+
+    def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        row, target = obs_slice
+        patches, corners, scales, ups = ctx
+        xy = _safe_project(model, cam, qvec, tvec, X)
+        pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
+        from ..base.interpolation import interpolate
+        f = interpolate(patches[row], pc[1], pc[0], interp)
+        return f - target
+    return residual_fn
+
+
+def _build_costmap(model, interp_key):
+    from ..util.jit_cache import interp_from_key
+    interp = interp_from_key(interp_key)
+
+    def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        row = obs_slice
+        patches, corners, scales, ups = ctx
+        xy = _safe_project(model, cam, qvec, tvec, X)
+        pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
+        from ..base.interpolation import interpolate
+        return interpolate(patches[row], pc[1], pc[0], interp)
+    return residual_fn
+
+
+_RESIDUAL_BUILDERS = {
+    "geometric": _build_geometric,
+    "feature_reference": _build_feature_reference,
+    "costmap": _build_costmap,
+}
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _compiled_ba_run(residual_key, loss_key, opts):
+    from ..base.losses import RobustLoss
+    from ..ops.schur import ba_solve as _ba_solve
+
+    residual_fn = _RESIDUAL_BUILDERS[residual_key[0]](*residual_key[1:])
+    loss = RobustLoss(loss_key[0], list(loss_key[1]))
+
+    @jax.jit
+    def run(state0, obs, ctx, pose_free, tvec_free, cam_free, point_free):
+        return _ba_solve(residual_fn, state0, obs, loss, pose_free,
+                         tvec_free, cam_free, point_free, opts=opts, ctx=ctx)
+
+    return run
+
+
 class BundleAdjuster:
     default_conf = {
         "strategy": "feature_reference",
@@ -103,6 +181,63 @@ class BundleAdjuster:
     def _ba_options(self, **overrides) -> BAOptions:
         return BAOptions.from_solver_conf(self.conf.optimizer.get("solver"),
                                           **overrides)
+
+    def _run_ba_cached(self, reconstruction: Reconstruction,
+                       packed: PackedBA, residual_key, obs_data, ctx,
+                       loss, opts: BAOptions) -> Dict:
+        """Run BA through the cached compiled program with bucket padding."""
+        from ..util.jit_cache import bucket
+
+        t0 = time.time()
+        O = len(packed.obs_img)
+        Np = len(packed.point_ids)
+        O_pad = bucket(O + 1)          # always >=1 padded obs slot (pair pad)
+        Np_pad = bucket(Np, minimum=4)
+
+        def pad_to(a, n, fill=0):
+            a = np.asarray(a)
+            if len(a) >= n:
+                return a
+            return np.concatenate(
+                [a, np.full((n - len(a),) + a.shape[1:], fill, a.dtype)])
+
+        pair_o1, pair_o2 = make_pair_list(packed.obs_pt, Np)
+        Q_pad = bucket(len(pair_o1), minimum=4)
+        pair_o1 = pad_to(pair_o1, Q_pad, O)   # pad pairs -> invalid obs slot
+        pair_o2 = pad_to(pair_o2, Q_pad, O)
+
+        valid = np.zeros(O_pad, bool)
+        valid[:O] = True
+        obs = BAObservations(
+            img_idx=jnp.asarray(pad_to(packed.obs_img, O_pad)),
+            cam_idx=jnp.asarray(pad_to(packed.obs_cam, O_pad)),
+            pt_idx=jnp.asarray(pad_to(packed.obs_pt, O_pad)),
+            obs_data=jax.tree_util.tree_map(
+                lambda a: jnp.asarray(pad_to(a, O_pad)), obs_data),
+            valid=jnp.asarray(valid),
+            pair_o1=jnp.asarray(pair_o1), pair_o2=jnp.asarray(pair_o2))
+        xyz = pad_to(packed.xyz, Np_pad).astype(np.float32)
+        xyz[Np:] = [0.0, 0.0, 10.0]  # padded points safely in front
+        state0 = BAState(jnp.asarray(packed.qvec), jnp.asarray(packed.tvec),
+                         jnp.asarray(packed.cams), jnp.asarray(xyz))
+
+        run = _compiled_ba_run(residual_key,
+                               (loss.name, tuple(loss.params)), opts)
+        state, summary = run(
+            state0, obs, ctx,
+            jnp.asarray(packed.pose_free),
+            jnp.asarray(packed.tvec_free),
+            jnp.asarray(packed.cam_free),
+            jnp.asarray(pad_to(packed.point_free, Np_pad, False)))
+        packed.unpack_into(reconstruction, np.asarray(state.qvec),
+                           np.asarray(state.tvec), np.asarray(state.cams),
+                           np.asarray(state.xyz)[:Np])
+        out = {k: float(v) for k, v in summary.items()}
+        out["time"] = time.time() - t0
+        logger.info("BA Time: %.3fs, cost change: %.6g --> %.6g (%d iters)",
+                    out["time"], out["initial_cost"], out["final_cost"],
+                    int(out["iterations"]))
+        return out
 
     def _run_ba(self, reconstruction: Reconstruction, packed: PackedBA,
                 residual_fn, obs_data, loss, opts: BAOptions,
@@ -168,19 +303,12 @@ class GeometricBundleAdjuster(BundleAdjuster):
                problem_setup=None) -> Dict:
         flags = self._optimizer_flags()
         packed = pack_ba_problem(reconstruction, problem_setup, **flags)
-        model = packed.cam_model
         loss = make_loss(self.conf.optimizer.get("loss"))
         opts = self._ba_options()
-
-        def residual_fn(qvec, tvec, cam, X, obs_slice):
-            xy_obs = obs_slice
-            x_cam = apply_pose(qvec, tvec, X)
-            uv = x_cam[:2] / x_cam[2]
-            return img_from_cam(model, cam, uv) - xy_obs
-
-        obs_data = jnp.asarray(packed.obs_xy, jnp.float32)
-        return self._run_ba(reconstruction, packed, residual_fn, obs_data,
-                            loss, opts)
+        obs_data = np.asarray(packed.obs_xy, np.float32)
+        return self._run_ba_cached(reconstruction, packed,
+                                   ("geometric", packed.cam_model),
+                                   obs_data, (), loss, opts)
 
     # geometric BA needs no features
     def refine_multilevel(self, reconstruction, feature_manager=None,
@@ -226,24 +354,17 @@ class FeatureReferenceBundleAdjuster(BundleAdjuster):
                             for pid in np.asarray(packed.point_ids)[
                                 packed.obs_pt]]) if O else np.zeros((0, 1))
 
-        patches = jnp.asarray(pf.patches)
-        corners = jnp.asarray(pf.corners.astype(np.float32))
-        scales = jnp.asarray(pf.scales.astype(np.float32))
-        ups = jnp.asarray(pf.upsampling.astype(np.float32))
-        obs_data = (jnp.asarray(rows),
-                    jnp.asarray(targets.astype(np.float32)))
+        from ..util.jit_cache import interp_static_key
 
-        def residual_fn(qvec, tvec, cam, X, obs_slice):
-            row, target = obs_slice
-            x_cam = apply_pose(qvec, tvec, X)
-            uv = x_cam[:2] / x_cam[2]
-            xy = img_from_cam(model, cam, uv)
-            pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
-            f = interpolate(patches[row], pc[1], pc[0], interp)
-            return f - target
-
-        return self._run_ba(reconstruction, packed, residual_fn, obs_data,
-                            loss, opts)
+        ctx = (jnp.asarray(pf.patches),
+               jnp.asarray(pf.corners.astype(np.float32)),
+               jnp.asarray(pf.scales.astype(np.float32)),
+               jnp.asarray(pf.upsampling.astype(np.float32)))
+        obs_data = (rows, targets.astype(np.float32))
+        return self._run_ba_cached(
+            reconstruction, packed,
+            ("feature_reference", model, interp_static_key(interp)),
+            obs_data, ctx, loss, opts)
 
 
 class CostMapBundleAdjuster(BundleAdjuster):

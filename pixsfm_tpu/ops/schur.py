@@ -135,12 +135,15 @@ def ba_solve(residual_fn: Callable,
              tvec_free: jnp.ndarray,      # [I, 3] bool (gauge-fix coords)
              cam_free: jnp.ndarray,       # [Nc, k] bool
              point_free: jnp.ndarray,     # [Np] bool
-             opts: BAOptions = BAOptions()) -> Tuple[BAState, Dict]:
+             opts: BAOptions = BAOptions(),
+             ctx=()) -> Tuple[BAState, Dict]:
     """Run the Schur LM.
 
-    residual_fn(qvec[4], tvec[3], cam[k], xyz[3], obs_slice) -> r [C]
-    (must be jacfwd-able; obs_slice is one element of obs.obs_data).
-    """
+    residual_fn(qvec[4], tvec[3], cam[k], xyz[3], obs_slice[, ctx]) -> r [C]
+    (must be jacfwd-able; obs_slice is one element of obs.obs_data; ``ctx`` is
+    an optional pytree of shared arrays — passing shared data through ctx
+    instead of Python closures lets callers cache one jitted instance of the
+    whole solve)."""
     I = state0.qvec.shape[0]
     Nc, k = state0.cams.shape
     Np = state0.xyz.shape[0]
@@ -163,7 +166,10 @@ def ba_solve(residual_fn: Callable,
         c = state.cams[cam] + dc
         X = state.xyz[pt] + dx
         sl = jax.tree_util.tree_map(lambda a: a[oi], obs.obs_data)
-        return residual_fn(q, t, c, X, sl)
+        try:
+            return residual_fn(q, t, c, X, sl, ctx)
+        except TypeError:
+            return residual_fn(q, t, c, X, sl)
 
     pad_O = int(np.ceil(max(O, 1) / opts.obs_chunk)) * opts.obs_chunk
 

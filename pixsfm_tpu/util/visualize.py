@@ -95,6 +95,10 @@ def plot_reconstruction_3d(reconstruction, path=None, max_points=20000,
             ax.scatter(centers[:, 0], centers[:, 1], centers[:, 2], s=30,
                        c="r", marker="^")
         if path:
+            from pathlib import Path as _P
+            path = _P(path)
+            if path.suffix.lower() in (".html", ""):
+                path = path.with_suffix(".png")
             fig.savefig(path, dpi=150)
             plt.close(fig)
             return None
