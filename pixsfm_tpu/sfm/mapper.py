@@ -290,6 +290,8 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
 
     registered = {na, nb}
     n_since_ba = 0
+    attempts: Dict[str, int] = {}
+    MAX_ATTEMPTS = 3
     while True:
         # build 2D-3D correspondences via graph tracks:
         # map track label -> point3D through a registered observation
@@ -311,14 +313,16 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
             if pid is None:
                 continue
             nm = graph.image_id_to_name[int(image_ids_arr[nid])]
-            if nm in registered:
+            if nm in registered or attempts.get(nm, 0) >= MAX_ATTEMPTS:
                 continue
             cand.setdefault(nm, []).append((int(feature_idxs[nid]), pid))
+        cand = {n: c for n, c in cand.items() if len(c) >= 6}
         if not cand:
             break
-        next_name, corrs = max(cand.items(), key=lambda kv: len(kv[1]))
-        if len(corrs) < 6:
-            break
+        # fewest prior attempts first, then most correspondences
+        next_name, corrs = min(
+            cand.items(), key=lambda kv: (attempts.get(kv[0], 0),
+                                          -len(kv[1])))
         p2D_idxs = [c[0] for c in corrs]
         p3D_ids = [c[1] for c in corrs]
         xy = keypoints[next_name][p2D_idxs]
@@ -333,21 +337,28 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
                 cam_try = Camera(0, cam_n.model, cam_n.width, cam_n.height,
                                  cam_n.params.copy())
                 cam_try.params[0] = ff * f0 / 1.2
-                cand = absolute_pose_estimation(xy, X, cam_try,
-                                                max_error_px=12.0)
-                if cand["success"] and cand["num_inliers"] > \
+                alt = absolute_pose_estimation(xy, X, cam_try,
+                                               max_error_px=12.0)
+                if alt["success"] and alt["num_inliers"] > \
                         pose.get("num_inliers", 0):
-                    pose = cand
+                    pose = alt
                     cam_n.params[0] = cam_try.params[0]
         if not pose["success"] or pose["num_inliers"] < 6:
-            logger.info("mapper: failed to register %s", next_name)
-            registered.add(next_name)  # avoid retry loop
+            attempts[next_name] = attempts.get(next_name, 0) + 1
+            logger.info("mapper: failed to register %s (attempt %d)",
+                        next_name, attempts[next_name])
+            # refine the current structure before the next try: failures are
+            # usually coarse two-view geometry, not bad correspondences
+            if attempts[next_name] == 1:
+                ba.refine(rec)
+                retriangulate()
             continue
         im = rec.images[name_to_id[next_name]]
         im.qvec = pose["qvec"]
         im.tvec = pose["tvec"]
         im.registered = True
         registered.add(next_name)
+        attempts.clear()  # structure will improve; allow failed images again
         logger.info("mapper: registered %s (%d inliers)", next_name,
                     pose["num_inliers"])
         retriangulate()
