@@ -200,20 +200,35 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
 
 
 def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
-                   K: int):
+                   K: int, use_pallas: bool = False):
     """Return (system_fn, cost_fn) factories closing over static config.
 
     The returned functions take the padded problem arrays explicitly so a single
-    jitted instance serves every chunk of equal shape.
+    jitted instance serves every chunk of equal shape. ``use_pallas`` routes the
+    interpolation through the fused gather-interpolate kernel (no [P,K,ps,ps,C]
+    gather materialization in HBM).
     """
 
     def _common(x, data):
         (patch_row, corner, scale, ups, edge_i, edge_j, edge_w) = data
         P = x.shape[0]
         kp = x.reshape(P, K, 2)
-        patches = all_patches[patch_row]          # [P, K, ps, ps, C] gather
-        f, dfdx, dfdy = _eval_keypoints(patches, kp, corner, scale, ups,
-                                        interp)
+        if use_pallas:
+            from ..ops.interpolate_pallas import interpolate_batch
+            uv = (kp * scale - 0.5 - corner) * ups[..., None]
+            fB, drB, dcB = interpolate_batch(
+                all_patches, patch_row.reshape(-1),
+                uv[..., 1].reshape(-1), uv[..., 0].reshape(-1), interp,
+                use_pallas=True)
+            C = fB.shape[-1]
+            f = fB.reshape(P, K, C)
+            su = scale * ups[..., None]
+            dfdx = dcB.reshape(P, K, C) * su[..., 0:1]
+            dfdy = drB.reshape(P, K, C) * su[..., 1:2]
+        else:
+            patches = all_patches[patch_row]      # [P, K, ps, ps, C] gather
+            f, dfdx, dfdy = _eval_keypoints(patches, kp, corner, scale, ups,
+                                            interp)
         fi = jnp.take_along_axis(f, edge_i[..., None], axis=1)
         fj = jnp.take_along_axis(f, edge_j[..., None], axis=1)
         r = fi - fj                                # [P, E, C]
@@ -449,7 +464,8 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
 
 
 @lru_cache(maxsize=32)
-def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int):
+def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
+                       use_pallas: bool = False):
     """One jitted KA chunk solver per static configuration — reused across
     levels, calls, and bench repetitions (jit caching is essential: through the
     TPU tunnel every recompile costs minutes)."""
@@ -460,7 +476,8 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int):
 
     @jax.jit
     def run_chunk(all_patches, x0, data, kp_free, lower, upper, pmask):
-        system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K)
+        system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K,
+                                            use_pallas=use_pallas)
         sysf = lambda x: system_fn(x, data)
         costf = lambda x: cost_fn(x, data)
         mask = jnp.repeat(kp_free, 2, axis=1)
@@ -475,8 +492,8 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int):
 
 def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
                       interp: InterpolationConfig, loss: RobustLoss,
-                      lm_opts: LMOptions, chunk: int = 128
-                      ) -> Tuple[np.ndarray, Dict]:
+                      lm_opts: LMOptions, chunk: int = 128,
+                      use_pallas: bool = False) -> Tuple[np.ndarray, Dict]:
     """Run all padded problems through the batched LM, chunked to bound memory.
 
     Returns refined kp [P, K, 2] and a merged summary dict (the reference merges
@@ -486,7 +503,7 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
     all_patches = jnp.asarray(packed_patches)
     run_chunk_c = _compiled_ka_chunk(
         _interp_key(interp), (loss.name, tuple(loss.params), loss.scale),
-        lm_opts, K)
+        lm_opts, K, use_pallas)
 
     def run_chunk(x0, data, kp_free, lower, upper, pmask):
         return run_chunk_c(all_patches, x0, data, kp_free, lower, upper,

@@ -191,6 +191,8 @@ def interpolate_batch(patches, rows, r, c,
     if use_pallas is None:
         use_pallas = (pallas_available() and config.mode == "BICUBIC"
                       and not config.ncc_normalize)
+    elif use_pallas and not pallas_available():
+        use_pallas = False  # CPU/tests: transparent fallback
     if use_pallas or interpret:
         return _pallas_interpolate(patches, rows, r, c, config,
                                    interpret=interpret)
