@@ -213,7 +213,18 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
     FOCAL_FACTORS = (1.0,) if known_intrinsics else (0.6, 0.85, 1.2, 1.7)
     init_pair = None
     best_score = 0
-    top_pairs = sorted(pair_matches.items(), key=lambda kv: -len(kv[1]))[:3]
+    # rank candidate pairs by their own matches plus their connectivity to the
+    # rest of the scene (a well-connected init pair registers more images)
+    conn = {}
+    for (a, b), ms in pair_matches.items():
+        conn[a] = conn.get(a, 0) + len(ms)
+        conn[b] = conn.get(b, 0) + len(ms)
+
+    def pair_rank(kv):
+        (a, b), ms = kv
+        return -(len(ms) + 0.25 * (conn[a] + conn[b] - 2 * len(ms)))
+
+    top_pairs = sorted(pair_matches.items(), key=pair_rank)[:3]
     for (na, nb), ms in top_pairs:
         ms = np.asarray(ms)
         denom = 1.0 if known_intrinsics else 1.2
@@ -328,7 +339,11 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
         xy = keypoints[next_name][p2D_idxs]
         X = np.stack([rec.points3D[p].xyz for p in p3D_ids])
         cam_n = cam_of[next_name]
-        pose = absolute_pose_estimation(xy, X, cam_n, max_error_px=12.0)
+        # escalate the tolerance across retries: early structure from a
+        # two-view init can be metrically coarse; BA after registration
+        # tightens it (final inlier bookkeeping re-filters at 12px)
+        max_err = 12.0 * (2.0 ** attempts.get(next_name, 0))
+        pose = absolute_pose_estimation(xy, X, cam_n, max_error_px=max_err)
         if (not pose["success"] or pose["num_inliers"] < 12) and \
                 len(xy) >= 12 and not known_intrinsics:
             # focal sweep retry (unknown intrinsics)
@@ -338,7 +353,7 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
                                  cam_n.params.copy())
                 cam_try.params[0] = ff * f0 / 1.2
                 alt = absolute_pose_estimation(xy, X, cam_try,
-                                               max_error_px=12.0)
+                                               max_error_px=max_err)
                 if alt["success"] and alt["num_inliers"] > \
                         pose.get("num_inliers", 0):
                     pose = alt
