@@ -15,9 +15,27 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-ever bench run pays the
+    (multi-minute, remote-tunnel) compiles; subsequent runs load from disk."""
+    import jax
+    cache_dir = os.environ.get("PIXSFM_JAX_CACHE",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache unsupported on this backend: proceed
+        print(f"[bench] compilation cache unavailable: {e}",
+              file=__import__("sys").stderr)
 
 
 def build_workload(P=192, K=48, E=96, C=128, ps=16, seed=0):
@@ -100,6 +118,7 @@ def bench_backend(problems, patches, chunk, repeats=2, iters=100,
 def main():
     import jax
 
+    _enable_compile_cache()
     ITERS = 100
     P, K = 128, 48
     problems, patches = build_workload(P=P, K=K)

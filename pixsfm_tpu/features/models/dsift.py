@@ -56,11 +56,11 @@ class DSIFT(BaseModel):
 
         # sample the 4x4 spatial grid around each pixel by shifting
         descs = []
-        offsets = (jnp.arange(NUM_SPATIAL_BINS) - (NUM_SPATIAL_BINS - 1) / 2.0
-                   ) * bs
+        offsets = [int(round((i - (NUM_SPATIAL_BINS - 1) / 2.0) * bs))
+                   for i in range(NUM_SPATIAL_BINS)]
         for dy in offsets:
             for dx in offsets:
-                shifted = jnp.roll(pooled, (-int(dy), -int(dx)), axis=(1, 2))
+                shifted = jnp.roll(pooled, (-dy, -dx), axis=(1, 2))
                 descs.append(shifted)
         desc = jnp.concatenate(descs, axis=-1)  # [1, H, W, 128]
 
