@@ -296,23 +296,30 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
-def _compiled_qba(model: str, interp_key, loss_key, max_iters: int):
-    """Jitted pose-only damped Newton, cached per static configuration;
-    per-query arrays are traced arguments (padded to shape buckets)."""
+def _compiled_qba(model: str, interp_key, loss_key, max_iters: int,
+                  n_cam_params: int):
+    """Jitted pose(+intrinsics) damped Newton, cached per static configuration;
+    per-query arrays are traced arguments (padded to shape buckets). The
+    intrinsics subset is selected by a traced ``cam_mask`` so one compile serves
+    every refine_focal_length/principal_point/extra_params combination
+    (reference: single_query_bundle_optimizer ParameterizeQuery,
+    query_bundle_optimizer.h:114-120)."""
     interp = InterpolationConfig(mode=interp_key[0], l2_normalize=interp_key[1],
                                  ncc_normalize=interp_key[2])
     from ..base.losses import RobustLoss
     loss = RobustLoss(loss_key[0], list(loss_key[1]))
+    NP = 6 + n_cam_params
 
     @jax.jit
-    def run(q0, t0, cam_params, patches, rows, corners, scales, ups, X,
-            targets, tw):
-        def residual_cost(d, q0_, t0_):
+    def run(q0, t0, cam_params, cam_mask, patches, rows, corners, scales,
+            ups, X, targets, tw):
+        def residual_cost(d, q0_, t0_, c0_):
             q = quat_normalize(quat_mul(exp_quat(d[:3]), q0_))
-            t = t0_ + d[3:]
+            t = t0_ + d[3:6]
+            c = c0_ + d[6:] * cam_mask
 
             def per_corr(row, corner, scale, up, Xi, tgt, w):
-                xy = world_to_pixel(model, cam_params, q, t, Xi)
+                xy = world_to_pixel(model, c, q, t, Xi)
                 pc = (xy * scale - 0.5 - corner) * up
                 f = interpolate(patches[row], pc[1], pc[0], interp)
                 r = f[None, :] - tgt
@@ -323,29 +330,35 @@ def _compiled_qba(model: str, interp_key, loss_key, max_iters: int):
                                        targets, tw)
             return 0.5 * jnp.sum(costs)
 
+        free = jnp.concatenate([jnp.ones(6, jnp.float32), cam_mask])
+
         def body(carry, _):
-            q, t, lam, cost = carry
-            zero = jnp.zeros(6, jnp.float32)
-            g = jax.grad(residual_cost)(zero, q, t)
-            H = jax.hessian(residual_cost)(zero, q, t)
+            q, t, c, lam, cost = carry
+            zero = jnp.zeros(NP, jnp.float32)
+            g = jax.grad(residual_cost)(zero, q, t, c) * free
+            H = jax.hessian(residual_cost)(zero, q, t, c)
+            H = H * free[:, None] * free[None, :]
             D = jnp.clip(jnp.diag(H), 1e-8, 1e32)
-            d = -jnp.linalg.solve(H + lam * jnp.diag(D)
-                                  + 1e-8 * jnp.eye(6), g)
+            Hd = H + lam * jnp.diag(D) + jnp.diag(1.0 - free) \
+                + 1e-8 * jnp.eye(NP)
+            d = -jnp.linalg.solve(Hd, g) * free
             q_new = quat_normalize(quat_mul(exp_quat(d[:3]), q))
-            t_new = t + d[3:]
-            new_cost = residual_cost(zero, q_new, t_new)
+            t_new = t + d[3:6]
+            c_new = c + d[6:] * cam_mask
+            new_cost = residual_cost(zero, q_new, t_new, c_new)
             accept = new_cost < cost
             return (jnp.where(accept, q_new, q),
                     jnp.where(accept, t_new, t),
+                    jnp.where(accept, c_new, c),
                     jnp.where(accept, lam / 3.0, lam * 4.0),
                     jnp.where(accept, new_cost, cost)), None
 
-        zero = jnp.zeros(6, jnp.float32)
-        cost0 = residual_cost(zero, q0, t0)
-        (q, t, _, cost), _ = jax.lax.scan(
-            body, (q0, t0, jnp.asarray(1e-4, jnp.float32), cost0),
-            None, length=max_iters)
-        return q, t, cost0, cost
+        zero = jnp.zeros(NP, jnp.float32)
+        cost0 = residual_cost(zero, q0, t0, cam_params)
+        (q, t, c, _, cost), _ = jax.lax.scan(
+            body, (q0, t0, cam_params, jnp.asarray(1e-4, jnp.float32),
+                   cost0), None, length=max_iters)
+        return q, t, c, cost0, cost
 
     return run
 
@@ -422,20 +435,35 @@ class QueryBundleAdjuster:
                                + patches.shape[1:], patches.dtype)]) \
             if np_pad > patches.shape[0] else patches
 
+        # intrinsics refinement subset (reference ParameterizeQuery)
+        from ..base.cameras import CAMERA_MODELS
+        spec = CAMERA_MODELS[camera.model]
+        cam_mask = np.zeros(spec.num_params, np.float32)
+        if opt.get("refine_focal_length"):
+            cam_mask[list(spec.focal_idxs)] = 1.0
+        if opt.get("refine_principal_point"):
+            cam_mask[list(spec.pp_idxs)] = 1.0
+        if opt.get("refine_extra_params") and spec.extra_idxs:
+            cam_mask[list(spec.extra_idxs)] = 1.0
+
         run = _compiled_qba(camera.model,
                             (interp.mode, interp.l2_normalize,
                              interp.ncc_normalize),
-                            (loss.name, tuple(loss.params)), max_iters)
-        q, t, c0, c1 = run(
+                            (loss.name, tuple(loss.params)), max_iters,
+                            spec.num_params)
+        q, t, c, c0, c1 = run(
             jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
-            jnp.asarray(camera.params, jnp.float32),
+            jnp.asarray(camera.params, jnp.float32), jnp.asarray(cam_mask),
             jnp.asarray(patches_p),
             jnp.asarray(padn(rows)), jnp.asarray(padn(corners[rows])),
             jnp.asarray(padn(scales[rows], 1)), jnp.asarray(padn(ups[rows], 1)),
             jnp.asarray(padn(X)), jnp.asarray(padn(targets)),
             jnp.asarray(padn(tw)))
+        if cam_mask.any():
+            camera.params = np.asarray(c, np.float64)
         return dict(qvec=np.asarray(q, np.float64),
                     tvec=np.asarray(t, np.float64),
+                    camera_params=np.asarray(c, np.float64),
                     initial_cost=float(c0), final_cost=float(c1))
 
     def refine_multilevel(self, qvec, tvec, camera, points3D, query_fmaps,
