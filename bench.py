@@ -135,7 +135,7 @@ def main():
     cpu_dev = jax.devices("cpu")[0]
     with jax.default_device(cpu_dev):
         t_cpu = bench_backend(sub, sub_patches, chunk=cpu_P, repeats=1,
-                              iters=cpu_iters, warmup_iters=1)
+                              iters=cpu_iters, warmup_iters=cpu_iters)
     cpu_rate = int(sub.kp_valid.sum()) * cpu_iters / t_cpu
 
     print(json.dumps({

@@ -219,7 +219,8 @@ class KeypointAdjuster:
         lm_opts = LMOptions.from_solver_conf(opt.get("solver"))
         kp_refined, summary = solve_ka_problems(
             problems, packed.patches, interp, loss, lm_opts,
-            chunk=int(self.conf.get("problem_chunk_size", 128)))
+            chunk=int(self.conf.get("problem_chunk_size", 128)),
+            use_pallas=bool(self.conf.get("use_pallas_interpolation", False)))
 
         # write back refined keypoints
         image_ids, feature_idxs = graph.nodes_array()
