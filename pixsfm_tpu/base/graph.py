@@ -16,8 +16,7 @@ native C++ backend (pixsfm_tpu/native) can drop in for very large scenes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -23,7 +23,7 @@ semantics (L2-normalize chain rule :648-666, NCC normalize :54-85, node evaluati
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -25,12 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import logger
-from ..base.cameras import img_from_cam
-from ..base.geometry import apply_pose
-from ..base.interpolation import InterpolationConfig, interpolate
+from ..base.interpolation import InterpolationConfig
 from ..base.losses import RobustLoss, make_loss
 from ..features.featuremaps import (FeatureMap, FeaturePatch, FeatureSet,
-                                    FeatureView, PackedFeatures)
+                                    FeatureView)
 from ..sfm.model import Reconstruction
 from .problem import pack_ba_problem
 from .references import extract_references

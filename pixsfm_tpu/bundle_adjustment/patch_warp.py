@@ -16,7 +16,6 @@ for which this is exact; joint source-target pose coupling is future work.
 
 from __future__ import annotations
 
-import time
 from typing import Dict
 
 import jax

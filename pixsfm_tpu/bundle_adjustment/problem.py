@@ -12,8 +12,8 @@ outside the image set are added with constant pose when they observe a variable 
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Set
 
 import numpy as np
 

@@ -14,7 +14,7 @@ and runs per-bin threads (parallel_optimizer.h).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

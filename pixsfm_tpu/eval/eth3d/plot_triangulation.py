@@ -6,11 +6,11 @@ from __future__ import annotations
 import argparse
 import json
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
-from .config import SCENES_INDOOR, SCENES_OUTDOOR, TRIANGULATION_TOLERANCES
+from .config import TRIANGULATION_TOLERANCES
 
 __all__ = ["plot_results", "main"]
 

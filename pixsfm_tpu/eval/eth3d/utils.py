@@ -4,8 +4,7 @@ ETH3DMultiViewEvaluation binary, reimplemented here as point-cloud metrics)."""
 from __future__ import annotations
 
 from itertools import combinations
-from pathlib import Path
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -13,16 +13,13 @@ emits featuremaps in the reference's three modes (extractor.py:152-236):
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 import PIL.Image
 
-from .. import logger
 from ..config import merge
-from .featuremaps import (FeatureMap, FeaturePatch, kDensePatchId,
-                          storage_dtype)
+from .featuremaps import FeatureMap, kDensePatchId, storage_dtype
 from .models import get_model
 
 __all__ = ["FeatureExtractor", "extract_patches_numpy"]

@@ -22,11 +22,10 @@ exact cache interop), compute is f32 — SURVEY.md §7 "Half-precision semantics
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
+from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .. import logger
 
 __all__ = [
     "kDensePatchId", "FeaturePatch", "FeatureMap", "FeatureSet",

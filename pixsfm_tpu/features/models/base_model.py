@@ -7,12 +7,10 @@ like the reference's torch BaseModel.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import List, Optional
 
 import numpy as np
 
-from ... import logger
 from ...config import merge
 
 __all__ = ["BaseModel"]

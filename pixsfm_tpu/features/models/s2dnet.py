@@ -11,8 +11,6 @@ warning (descriptor *pipelines* still work; descriptor *quality* requires weight
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ cached/reloaded as a resume point)."""
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, List
 
 import h5py

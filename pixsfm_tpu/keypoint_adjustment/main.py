@@ -29,7 +29,7 @@ from ..base.graph import (Graph, compute_root_labels, compute_score_labels,
                           compute_track_labels)
 from ..base.interpolation import InterpolationConfig
 from ..base.losses import make_loss
-from ..config import DictConfig, merge
+from ..config import merge
 from ..features.featuremaps import FeatureView
 from ..ops.lm import LMOptions
 from .solver import build_ka_problems, solve_ka_problems

@@ -23,8 +23,8 @@ Root keypoints are frozen (SetMaskedNodesConstant, keypoint_adjustment_options.c
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache, partial
-from typing import Dict, List, Optional, Tuple
+from functools import lru_cache
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

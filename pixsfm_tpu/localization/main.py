@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import time
 from collections import defaultdict
-from copy import deepcopy
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Union
 

@@ -9,7 +9,7 @@ damped Gauss-Newton pose refinement on the inliers (jit-compiled, pose-only).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ enforced by step projection: ``x_new = clip(x + dx, lower, upper)``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

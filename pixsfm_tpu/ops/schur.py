@@ -29,7 +29,6 @@ SPARSE_SCHUR / ITERATIVE_SCHUR by image count). Design:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

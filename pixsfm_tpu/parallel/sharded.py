@@ -19,14 +19,13 @@ collectives" recipe. Arrays are padded to multiples of the mesh size.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import logger
 
 __all__ = ["make_mesh", "shard_ka_chunk", "sharded_ba_solve"]
 

@@ -14,15 +14,13 @@ from __future__ import annotations
 
 import argparse
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
 from . import logger
-from .base.graph import (compute_root_labels, compute_score_labels,
-                         compute_track_labels)
 from .bundle_adjustment import BundleAdjuster
-from .config import DictConfig, OmegaConf, load_config, merge
+from .config import OmegaConf, load_config, merge
 from .extract import features_from_graph, features_from_reconstruction
 from .features.extractor import FeatureExtractor
 from .keypoint_adjustment import KeypointAdjuster, build_matching_graph

@@ -18,7 +18,7 @@ well-posed reconstructions on matched image sets for featuremetric refinement.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import PIL.Image
@@ -27,7 +27,7 @@ from .. import logger
 from ..base.cameras import Camera
 from ..base.geometry import rotmat_to_quat
 from ..base.graph import Graph, compute_track_labels
-from .model import Image, Point3D, Reconstruction
+from .model import Image, Reconstruction
 from .triangulation import triangulate_tracks
 
 __all__ = ["incremental_mapping"]

@@ -13,12 +13,12 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..base.cameras import CAMERA_MODEL_IDS, CAMERA_MODELS, Camera
-from ..base.geometry import quat_normalize, quat_rotate, quat_to_rotmat
+from ..base.cameras import CAMERA_MODEL_IDS, Camera
+from ..base.geometry import quat_to_rotmat
 
 __all__ = ["Image", "Point3D", "Reconstruction", "INVALID_POINT3D"]
 
@@ -137,7 +137,6 @@ class Reconstruction:
         return float(np.mean(errs)) if errs else 0.0
 
     def copy(self) -> "Reconstruction":
-        import copy as _copy
         rec = Reconstruction()
         for cid, cam in self.cameras.items():
             rec.cameras[cid] = Camera(cam.camera_id, cam.model, cam.width,

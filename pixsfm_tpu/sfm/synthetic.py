@@ -7,8 +7,6 @@ cameras on a ring looking at the centroid, observations = noisy projections.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 from ..base.cameras import Camera

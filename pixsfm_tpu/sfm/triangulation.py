@@ -13,7 +13,7 @@ TPU design: all tracks triangulate in one padded vmapped SVD batch.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

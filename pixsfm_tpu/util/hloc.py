@@ -7,8 +7,7 @@ reversed pair); pair lists as whitespace-separated text.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import h5py
 import numpy as np

@@ -3,7 +3,7 @@ drawing + plotly 3D init). Matplotlib-based; plotly used when available."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
