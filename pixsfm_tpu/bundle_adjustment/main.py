@@ -201,7 +201,16 @@ class BundleAdjuster:
             return np.concatenate(
                 [a, np.full((n - len(a),) + a.shape[1:], fill, a.dtype)])
 
-        pair_o1, pair_o2 = make_pair_list(packed.obs_pt, Np)
+        # solver-by-size switch (reference bundle_optimizer.h:180-191): dense
+        # Schur for small camera systems, matrix-free PCG beyond
+        M = 6 * len(packed.image_ids) + packed.cams.size
+        if opts.linear_solver == "dense" and M > 1500:
+            import dataclasses
+            opts = dataclasses.replace(opts, linear_solver="cg")
+        if opts.linear_solver == "cg":
+            pair_o1 = pair_o2 = np.zeros(4, np.int32) + O  # unused by CG
+        else:
+            pair_o1, pair_o2 = make_pair_list(packed.obs_pt, Np)
         Q_pad = bucket(len(pair_o1), minimum=4)
         pair_o1 = pad_to(pair_o1, Q_pad, O)   # pad pairs -> invalid obs slot
         pair_o2 = pad_to(pair_o2, Q_pad, O)

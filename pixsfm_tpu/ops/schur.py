@@ -54,6 +54,12 @@ class BAOptions:
     use_inner_iterations: bool = False
     inner_iteration_count: int = 2
     obs_chunk: int = 8192
+    # "dense": materialize the reduced camera system from track pairs and
+    # Cholesky it (DENSE_SCHUR). "cg": matrix-free preconditioned CG on the
+    # Schur complement (ITERATIVE_SCHUR + block-Jacobi — the reference's
+    # large-scene regime, bundle_optimizer.h:180-191).
+    linear_solver: str = "dense"
+    max_linear_solver_iterations: int = 100
 
     @classmethod
     def from_solver_conf(cls, conf, **overrides) -> "BAOptions":
@@ -66,6 +72,8 @@ class BAOptions:
             function_tolerance=float(get("function_tolerance", 0.0) or 0.0),
             gradient_tolerance=float(get("gradient_tolerance", 0.0) or 0.0),
             use_inner_iterations=bool(get("use_inner_iterations", False)),
+            max_linear_solver_iterations=int(
+                get("max_linear_solver_iterations", 100) or 100),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -282,6 +290,79 @@ def ba_solve(residual_fn: Callable,
 
         Vd = damp(V, pt_mask)
         Vinv = jnp.linalg.inv(Vd)
+
+        if opts.linear_solver == "cg":
+            # --- matrix-free ITERATIVE_SCHUR: PCG on S without materializing
+            # it; the Schur term applies through per-observation W blocks.
+            Hpp_d = damp(Hpp, pose_mask6)
+            Hcc_d = damp(Hcc, cam_mask)
+            Bp = B[:, :6, :]                      # [O, 6, 3]
+            Bc = B[:, 6:, :]                      # [O, k, 3]
+
+            def s_matvec(v):
+                vp, vc = v                        # [I,6], [Nc,k]
+                # A v
+                avp = jnp.einsum("iab,ib->ia", Hpp_d, vp) \
+                    + jnp.einsum("iak,ik->ia", Hpc, vc[obs_cam_of_img])
+                avc = jnp.einsum("cab,cb->ca", Hcc_d, vc)
+                avc = avc + jnp.zeros_like(avc).at[obs_cam_of_img].add(
+                    jnp.einsum("iak,ia->ik", Hpc, vp))
+                # W^T v per obs -> per point
+                s_o = jnp.einsum("oa,oab->ob",
+                                 jnp.concatenate([vp[obs.img_idx],
+                                                  vc[obs.cam_idx]], axis=1),
+                                 B)               # [O, 3]
+                t_p = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(s_o)
+                w_p = jnp.einsum("pab,pb->pa", Vinv, t_p)
+                u_o = jnp.einsum("oab,ob->oa", B, w_p[obs.pt_idx])  # [O,6+k]
+                avp = avp - jnp.zeros_like(avp).at[obs.img_idx].add(
+                    u_o[:, :6])
+                avc = avc - jnp.zeros_like(avc).at[obs.cam_idx].add(
+                    u_o[:, 6:])
+                return (avp, avc)
+
+            # block-Jacobi preconditioner from the damped diagonal blocks
+            Minv_p = jnp.linalg.inv(Hpp_d)
+            Minv_c = jnp.linalg.inv(Hcc_d)
+
+            def precond(v):
+                vp, vc = v
+                return (jnp.einsum("iab,ib->ia", Minv_p, vp),
+                        jnp.einsum("cab,cb->ca", Minv_c, vc))
+
+            # rhs = g_cam - W Vinv g_p
+            corr = jnp.einsum("oab,ob->oa",
+                              jnp.einsum("oab,obc->oac", B,
+                                         Vinv[obs.pt_idx]), gx[obs.pt_idx])
+            rp = gp - jnp.zeros_like(gp).at[obs.img_idx].add(corr[:, :6])
+            rc = gc - jnp.zeros_like(gc).at[obs.cam_idx].add(corr[:, 6:])
+
+            from jax.scipy.sparse.linalg import cg as _cg
+            (dp_neg, dc_neg), _ = _cg(
+                s_matvec, (rp, rc), M=precond,
+                maxiter=opts.max_linear_solver_iterations, tol=1e-8)
+            d_pose = -dp_neg * pose_mask6.astype(jnp.float32)
+            d_cam = -dc_neg * cam_mask.astype(jnp.float32)
+
+            dcam_obs = jnp.concatenate([d_pose[obs.img_idx],
+                                        d_cam[obs.cam_idx]], axis=1)
+            t = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(
+                jnp.einsum("oab,oa->ob", B, dcam_obs))
+            d_xyz = -jnp.einsum("pab,pb->pa", Vinv, gx + t) * pt_mask
+
+            g_all = jnp.concatenate([gp.reshape(-1), gc.reshape(-1),
+                                     gx.reshape(-1)])
+            d_all = jnp.concatenate([d_pose.reshape(-1), d_cam.reshape(-1),
+                                     d_xyz.reshape(-1)])
+            Dv = jnp.concatenate([
+                jnp.clip(jnp.diagonal(Hpp, axis1=1, axis2=2),
+                         opts.min_diagonal, opts.max_diagonal).reshape(-1),
+                jnp.clip(jnp.diagonal(Hcc, axis1=1, axis2=2),
+                         opts.min_diagonal, opts.max_diagonal).reshape(-1),
+                jnp.clip(jnp.diagonal(V, axis1=1, axis2=2),
+                         opts.min_diagonal, opts.max_diagonal).reshape(-1)])
+            pred = 0.5 * jnp.sum(d_all * (lam * Dv * d_all - g_all))
+            return d_pose, d_cam, d_xyz, pred
 
         # assemble dense A [M, M] via block placements
         A = jnp.zeros((M, M), jnp.float32)
