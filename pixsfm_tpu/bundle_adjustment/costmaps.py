@@ -73,6 +73,37 @@ def _costmap_kernel(patches, refs, loss: RobustLoss, l2_normalize: bool,
     return jnp.stack(chans, axis=-1)
 
 
+def _costmap_kernel_upsampled(patches, refs, loss: RobustLoss,
+                              l2_normalize: bool, up: int):
+    """General path (reference costmap_extractor.h:280-321): cost patch sampled
+    at ``1/up`` pixel steps via bicubic interpolation of the feature patch, with
+    dcost/dr = rho' * (residual . dfdr) from interpolated feature gradients."""
+    from ..base.interpolation import interpolate_with_grad
+
+    cfg = InterpolationConfig(mode="BICUBIC", l2_normalize=l2_normalize)
+    O, ps, _, C = patches.shape
+    out = ps * up
+    ys = (jnp.arange(out, dtype=jnp.float32)) / up
+    xs = (jnp.arange(out, dtype=jnp.float32)) / up
+
+    def per_patch(patch, ref):
+        def per_row(y):
+            def per_px(x):
+                f, dfdr, dfdc = interpolate_with_grad(patch, y, x, cfg)
+                res = f - ref
+                s = jnp.sum(res * res)
+                cost = 0.5 * loss(s)
+                w = loss.weight(s)
+                small = cost <= 1e-8
+                dr = jnp.where(small, 0.0, w * jnp.dot(res, dfdr))
+                dc = jnp.where(small, 0.0, w * jnp.dot(res, dfdc))
+                return jnp.stack([cost, dr, dc])
+            return jax.vmap(per_px)(xs)
+        return jax.vmap(per_row)(ys)
+
+    return jax.vmap(per_patch)(patches.astype(jnp.float32), refs)
+
+
 def extract_costmaps(reconstruction: Reconstruction, feature_set: FeatureSet,
                      conf, references_conf, interp: InterpolationConfig,
                      point3D_ids=None) -> Tuple[FeatureSet, Dict]:
@@ -109,21 +140,26 @@ def extract_costmaps(reconstruction: Reconstruction, feature_set: FeatureSet,
     rows = np.asarray([o[0] for o in obs], np.int32)
     targets = np.stack([refs[o[1]].descriptor for o in obs]).astype(np.float32)
 
+    up = int(get("upsampling_factor", 1) or 1)
+
     @jax.jit
     def run(patches, targets):
+        if up > 1:
+            return _costmap_kernel_upsampled(patches, targets, loss,
+                                             interp.l2_normalize, up)
         return _costmap_kernel(patches, targets, loss, interp.l2_normalize,
                                compute_cross)
 
     cost_patches = np.asarray(run(jnp.asarray(pf.patches)[jnp.asarray(rows)],
                                   jnp.asarray(targets)))
 
-    out_c = 4 if compute_cross else 3
-    cset = FeatureSet(out_c, feature_set.patch_size, "float32")
+    out_c = 4 if (compute_cross and up == 1) else 3
+    cset = FeatureSet(out_c, feature_set.patch_size * up, "float32")
     for i, (row, pid, name, p2D_idx) in enumerate(obs):
         fmap = cset.maps.setdefault(name, FeatureMap(is_sparse=True))
         fmap.patches[p2D_idx] = FeaturePatch(
             cost_patches[i], pf.corners[row], pf.scales[row],
-            float(pf.upsampling[row]))
+            float(pf.upsampling[row]) * up)
     logger.info("Costmap extraction: %.3fs (%d patches)", time.time() - t0,
                 len(obs))
     return cset, refs

@@ -257,10 +257,20 @@ class FeatureMetricKeypointAdjuster(KeypointAdjuster):
                root_labels, problem_setup=None) -> dict:
         track_labels = np.asarray(track_labels)
         if self.conf.get("split_in_subproblems", True):
-            problem_labels, _ = find_problem_labels(
+            problem_labels, bins = find_problem_labels(
                 track_labels, int(self.conf.get("max_kps_per_problem", 50)))
+            if bins and max(bins) > 512:
+                logger.warning(
+                    "KA: largest subproblem has %d keypoints; the dense "
+                    "per-problem solve scales as O(K^3) — consider a smaller "
+                    "max_kps_per_problem.", max(bins))
         else:
             problem_labels = np.zeros(graph.num_nodes, np.int64)
+            if graph.num_nodes > 512:
+                logger.warning(
+                    "KA: split_in_subproblems=False with %d keypoints builds "
+                    "one dense problem; this is O(K^3) — enable splitting for "
+                    "large scenes.", graph.num_nodes)
 
         opt = self.conf.optimizer
         edges = None

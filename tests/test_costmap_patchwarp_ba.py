@@ -81,3 +81,31 @@ def test_patch_warp_ba_aligns_points(rng):
     assert out["final_cost"] < out["initial_cost"]
     assert spread_after < spread_before * 0.6, \
         f"{spread_before} -> {spread_after}"
+
+
+def test_costmap_upsampled():
+    from pixsfm_tpu.base.interpolation import InterpolationConfig
+    from pixsfm_tpu.bundle_adjustment.costmaps import extract_costmaps
+
+    rec, fset = featuremetric_scene(seed=17, n_points=6)
+    interp = InterpolationConfig(mode="BICUBIC", l2_normalize=False)
+    cset, refs = extract_costmaps(
+        rec, fset, {"loss": {"name": "trivial", "params": []},
+                    "upsampling_factor": 2},
+        {"loss": {"name": "cauchy", "params": [0.25]}, "iters": 5}, interp)
+    some = next(iter(cset.maps.values()))
+    patch = next(iter(some.patches.values()))
+    ps = fset.patch_size
+    assert patch.data.shape == (2 * ps, 2 * ps, 3)
+    assert patch.upsampling_factor == 2.0
+    assert np.isfinite(patch.data).all()
+    # upsampled costmap at even indices matches the unit-scale costmap values
+    cset1, _ = extract_costmaps(
+        rec, fset, {"loss": {"name": "trivial", "params": []}},
+        {"loss": {"name": "cauchy", "params": [0.25]}, "iters": 5}, interp)
+    p1 = cset1.maps[list(cset1.maps)[0]]
+    name = list(cset.maps)[0]
+    k = list(cset.maps[name].patches)[0]
+    a = cset.maps[name].patches[k].data[::2, ::2, 0]
+    b = cset1.maps[name].patches[k].data[..., 0]
+    np.testing.assert_allclose(a, b, atol=1e-3)
