@@ -230,6 +230,20 @@ class BundleAdjuster:
         state0 = BAState(jnp.asarray(packed.qvec), jnp.asarray(packed.tvec),
                          jnp.asarray(packed.cams), jnp.asarray(xyz))
 
+        # a-priori memory estimate (reference NumNonZerosJacobian warning,
+        # bundle_optimizer.h:200-208): the per-chunk Jacobian intermediate is
+        # [obs_chunk, C, 9+k] f32 plus the gathered patches
+        k = packed.cams.shape[1]
+        C_est = (np.asarray(obs_data[1]).shape[-1]
+                 if isinstance(obs_data, tuple) and len(obs_data) > 1
+                 and hasattr(obs_data[1], "shape") else 2)
+        jac_bytes = min(O_pad, opts.obs_chunk) * C_est * (9 + k) * 4
+        if jac_bytes > 2 * 2 ** 30:
+            logger.warning(
+                "BA: per-chunk Jacobian intermediate ~%.1f GB; reduce "
+                "obs_chunk (currently %d).", jac_bytes / 2 ** 30,
+                opts.obs_chunk)
+
         run = _compiled_ba_run(residual_key,
                                (loss.name, tuple(loss.params)), opts)
         state, summary = run(
