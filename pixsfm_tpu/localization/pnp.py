@@ -50,6 +50,75 @@ def _dlt_pose(uv: np.ndarray, X: np.ndarray):
     return R, t
 
 
+def _dlt_pose_batch(uv: np.ndarray, X: np.ndarray):
+    """Batched minimal-sample DLT: uv [B, m, 2], X [B, m, 3] ->
+    (R [B,3,3], t [B,3], ok [B]). One batched SVD for all hypotheses."""
+    B, m, _ = uv.shape
+    A = np.zeros((B, 2 * m, 12))
+    Xh = np.concatenate([X, np.ones((B, m, 1))], axis=2)
+    A[:, 0::2, 0:4] = Xh
+    A[:, 0::2, 8:12] = -uv[:, :, 0:1] * Xh
+    A[:, 1::2, 4:8] = Xh
+    A[:, 1::2, 8:12] = -uv[:, :, 1:2] * Xh
+    _, _, Vt = np.linalg.svd(A)
+    P = Vt[:, -1, :].reshape(B, 3, 4)
+    # cheirality: sign so that projective depths are positive
+    w = np.einsum("bmi,bi->bm", Xh, P[:, 2])
+    sign = np.where(np.median(w, axis=1) < 0, -1.0, 1.0)
+    P = P * sign[:, None, None]
+    M = P[:, :, :3]
+    U, S, Vt2 = np.linalg.svd(M)
+    ok = S[:, -1] > 1e-10 * np.maximum(S[:, 0], 1e-12)
+    det = np.linalg.det(np.einsum("bij,bjk->bik", U, Vt2))
+    D = np.zeros((B, 3, 3))
+    D[:, 0, 0] = 1.0
+    D[:, 1, 1] = 1.0
+    D[:, 2, 2] = det
+    R = np.einsum("bij,bjk,bkl->bil", U, D, Vt2)
+    t = P[:, :, 3] / np.maximum(S.mean(axis=1), 1e-12)[:, None]
+    return R, t, ok
+
+
+def _reproj_errors_Rt(camera: Camera, R, t, X, xy):
+    """Reprojection errors for a rotation-matrix pose (numpy, no quat detour)."""
+    x_cam = (R @ np.atleast_2d(X).T).T + t
+    z = x_cam[:, 2]
+    uv = x_cam[:, :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[:, None]
+    xy_proj = _apply_intrinsics_np(camera, uv)
+    err = np.linalg.norm(xy_proj - xy, axis=1)
+    err[z <= 0] = np.inf
+    return err
+
+
+def _apply_intrinsics_np(camera: Camera, uv: np.ndarray):
+    p = camera.params
+    model = camera.model
+    u, v = uv[:, 0], uv[:, 1]
+    if model == "SIMPLE_PINHOLE":
+        d = uv; fx = fy = p[0]; cx, cy = p[1], p[2]
+    elif model == "PINHOLE":
+        d = uv; fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+    elif model == "SIMPLE_RADIAL":
+        r2 = u * u + v * v
+        d = uv * (1.0 + p[3] * r2)[:, None]
+        fx = fy = p[0]; cx, cy = p[1], p[2]
+    elif model == "RADIAL":
+        r2 = u * u + v * v
+        d = uv * (1.0 + r2 * (p[3] + p[4] * r2))[:, None]
+        fx = fy = p[0]; cx, cy = p[1], p[2]
+    elif model == "OPENCV":
+        k1, k2, p1, p2 = p[4], p[5], p[6], p[7]
+        r2 = u * u + v * v
+        radial = 1.0 + r2 * (k1 + k2 * r2)
+        du = u * radial + 2 * p1 * u * v + p2 * (r2 + 2 * u * u)
+        dv = v * radial + p1 * (r2 + 2 * v * v) + 2 * p2 * u * v
+        d = np.stack([du, dv], axis=1)
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+    else:
+        raise ValueError(f"unsupported model {model}")
+    return np.stack([fx * d[:, 0] + cx, fy * d[:, 1] + cy], axis=1)
+
+
 def _quat_to_rotmat_np(q):
     q = np.asarray(q, np.float64)
     q = q / np.linalg.norm(q)
@@ -68,35 +137,7 @@ def project_np(camera: Camera, qvec, tvec, X):
     x_cam = (R @ np.atleast_2d(X).T).T + np.asarray(tvec)
     z = x_cam[:, 2]
     uv = x_cam[:, :2] / np.where(np.abs(z) < 1e-12, 1e-12, z)[:, None]
-    p = camera.params
-    model = camera.model
-    u, v = uv[:, 0], uv[:, 1]
-    if model == "SIMPLE_PINHOLE":
-        d = uv
-        fx = fy = p[0]; cx, cy = p[1], p[2]
-    elif model == "PINHOLE":
-        d = uv
-        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
-    elif model == "SIMPLE_RADIAL":
-        r2 = u * u + v * v
-        d = uv * (1.0 + p[3] * r2)[:, None]
-        fx = fy = p[0]; cx, cy = p[1], p[2]
-    elif model == "RADIAL":
-        r2 = u * u + v * v
-        d = uv * (1.0 + r2 * (p[3] + p[4] * r2))[:, None]
-        fx = fy = p[0]; cx, cy = p[1], p[2]
-    elif model == "OPENCV":
-        k1, k2, p1, p2 = p[4], p[5], p[6], p[7]
-        r2 = u * u + v * v
-        radial = 1.0 + r2 * (k1 + k2 * r2)
-        du = u * radial + 2 * p1 * u * v + p2 * (r2 + 2 * u * u)
-        dv = v * radial + p1 * (r2 + 2 * v * v) + 2 * p2 * u * v
-        d = np.stack([du, dv], axis=1)
-        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
-    else:
-        raise ValueError(f"project_np: unsupported model {model}")
-    xy = np.stack([fx * d[:, 0] + cx, fy * d[:, 1] + cy], axis=1)
-    return xy, z
+    return _apply_intrinsics_np(camera, uv), z
 
 
 def _reproj_errors(camera: Camera, qvec, tvec, X, xy):
@@ -194,27 +235,31 @@ def absolute_pose_estimation(points2D: np.ndarray, points3D: np.ndarray,
     rng = np.random.default_rng(seed)
     best = dict(num_inliers=0, inliers=np.zeros(n, bool), qvec=None,
                 tvec=None)
-    it = 0
+    # batched RANSAC: all minimal-sample DLTs solved with one batched SVD,
+    # scoring vectorized per batch of hypotheses
+    BATCH = 128
+    tried = 0
     max_iter = max_iterations
-    while it < max_iter:
-        it += 1
-        sample = rng.choice(n, 6, replace=False)
-        sol = _dlt_pose(uv[sample], X[sample])
-        if sol is None:
-            continue
-        R, t = sol
-        qvec = np.asarray(rotmat_to_quat(jnp.asarray(R)))
-        err = _reproj_errors(camera, qvec, t, X, xy)
-        inl = err < max_error_px
-        ni = int(inl.sum())
-        if ni > best["num_inliers"]:
-            best = dict(num_inliers=ni, inliers=inl, qvec=qvec, tvec=t)
-            # adaptive iteration count
-            ratio = max(ni / n, min_inlier_ratio)
-            denom = np.log(max(1.0 - ratio ** 6, 1e-12))
-            if denom < 0:
-                max_iter = min(max_iterations,
-                               int(np.ceil(np.log(1 - confidence) / denom)))
+    while tried < max_iter:
+        b = min(BATCH, max_iter - tried)
+        tried += b
+        samples = np.stack([rng.choice(n, 6, replace=False)
+                            for _ in range(b)])
+        Rs, ts, ok = _dlt_pose_batch(uv[samples], X[samples])
+        for bi in np.nonzero(ok)[0]:
+            err = _reproj_errors_Rt(camera, Rs[bi], ts[bi], X, xy)
+            inl = err < max_error_px
+            ni = int(inl.sum())
+            if ni > best["num_inliers"]:
+                qvec = np.asarray(rotmat_to_quat(jnp.asarray(Rs[bi])))
+                best = dict(num_inliers=ni, inliers=inl, qvec=qvec,
+                            tvec=ts[bi])
+                ratio = max(ni / n, min_inlier_ratio)
+                denom = np.log(max(1.0 - ratio ** 6, 1e-12))
+                if denom < 0:
+                    max_iter = min(max_iterations,
+                                   int(np.ceil(np.log(1 - confidence)
+                                               / denom)))
     if best["num_inliers"] < 6:
         return dict(success=False, num_inliers=0, inliers=np.zeros(n, bool))
 
