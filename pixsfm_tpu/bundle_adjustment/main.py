@@ -202,9 +202,13 @@ class BundleAdjuster:
                 [a, np.full((n - len(a),) + a.shape[1:], fill, a.dtype)])
 
         # solver-by-size switch (reference bundle_optimizer.h:180-191): dense
-        # Schur for small camera systems, matrix-free PCG beyond
+        # Schur for small camera systems, matrix-free PCG beyond. The dense
+        # path also materializes one (6+k)^2 block per same-track observation
+        # pair, so long tracks force CG too.
         M = 6 * len(packed.image_ids) + packed.cams.size
-        if opts.linear_solver == "dense" and M > 1500:
+        track_lens = np.bincount(packed.obs_pt, minlength=max(Np, 1))
+        n_pairs = int(np.sum(track_lens.astype(np.int64) ** 2))
+        if opts.linear_solver == "dense" and (M > 1500 or n_pairs > 300_000):
             import dataclasses
             opts = dataclasses.replace(opts, linear_solver="cg")
         if opts.linear_solver == "cg":

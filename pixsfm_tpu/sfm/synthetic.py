@@ -71,23 +71,23 @@ def synthetic_reconstruction(
             rec.add_camera(Camera(cam_id, model, width, height, make_params()))
         rec.add_image(Image(i + 1, f"image{i + 1}.jpg", cam_id, qvec, tvec))
 
-    cam = rec.cameras[1]
-    # project all points into all images; keep in-bounds observations
+    # project all points into all images at once (pure numpy — per-point
+    # device dispatches are prohibitively slow through the TPU tunnel)
+    from ..localization.pnp import project_np
+
+    tracks = {pid: [] for pid in range(n_points)}
+    for im in rec.images.values():
+        cam_i = rec.cameras[im.camera_id]
+        xy, depth = project_np(cam_i, im.qvec, im.tvec, pts)
+        xy = xy + rng.normal(0, noise_px, xy.shape)
+        ok = (depth > 0.1) & (xy[:, 0] >= 0) & (xy[:, 0] < width)             & (xy[:, 1] >= 0) & (xy[:, 1] < height)
+        sel = np.nonzero(ok)[0]
+        im.xys = xy[sel]
+        im.point3D_ids = sel.astype(np.int64)
+        for p2D_idx, pid in enumerate(sel):
+            tracks[int(pid)].append((im.image_id, p2D_idx))
     for pid, X in enumerate(pts):
-        track = []
-        for im in rec.images.values():
-            x_cam = im.world_to_camera(X)[0]
-            if x_cam[2] <= 0.1:
-                continue
-            cam_i = rec.cameras[im.camera_id]
-            xy = cam_i.img_from_cam(x_cam[:2] / x_cam[2])
-            xy = xy + rng.normal(0, noise_px, 2)
-            if not (0 <= xy[0] < width and 0 <= xy[1] < height):
-                continue
-            p2D_idx = len(im.xys)
-            im.xys = np.vstack([im.xys, xy[None]])
-            im.point3D_ids = np.append(im.point3D_ids, pid)
-            track.append((im.image_id, p2D_idx))
+        track = tracks[pid]
         if len(track) >= 2:
             xyz = X + (rng.normal(0, point_noise, 3) if point_noise else 0.0)
             rec.add_point3D(Point3D(pid, xyz, track=track))
