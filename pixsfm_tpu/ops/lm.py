@@ -40,6 +40,11 @@ class LMOptions:
     max_lambda: float = 1e32
     min_diagonal: float = 1e-6            # Ceres min_lm_diagonal
     max_diagonal: float = 1e32
+    # Ceres use_nonmonotonic_steps: accept steps that beat the MAX cost of the
+    # last `nonmonotonic_window` accepted iterates (GLL acceptance) instead of
+    # the current cost; allows escaping narrow valleys.
+    use_nonmonotonic_steps: bool = False
+    nonmonotonic_window: int = 10         # max_consecutive_nonmonotonic_steps
 
     @classmethod
     def from_solver_conf(cls, conf) -> "LMOptions":
@@ -52,6 +57,9 @@ class LMOptions:
             parameter_tolerance=float(get("parameter_tolerance", 1e-5) or 0.0),
             function_tolerance=float(get("function_tolerance", 0.0) or 0.0),
             gradient_tolerance=float(get("gradient_tolerance", 0.0) or 0.0),
+            use_nonmonotonic_steps=bool(get("use_nonmonotonic_steps", False)),
+            nonmonotonic_window=int(
+                get("max_consecutive_nonmonotonic_steps", 10) or 10),
         )
 
 
@@ -63,6 +71,9 @@ class LMState(NamedTuple):
     done: jnp.ndarray       # [P] bool
     it: jnp.ndarray         # [] int
     iterations: jnp.ndarray  # [P] iterations actually used
+    cost_window: jnp.ndarray  # [P, W] recent accepted costs (nonmonotonic)
+    best_x: jnp.ndarray     # [P, N] lowest-cost iterate seen
+    best_cost: jnp.ndarray  # [P]
 
 
 class LMSummary(NamedTuple):
@@ -127,6 +138,7 @@ def lm_solve(system_fn: Callable,
     no_free = ~jnp.any(param_mask, axis=1)
     init_done = no_free | ~problem_mask
 
+    W = max(int(opts.nonmonotonic_window), 1)
     init = LMState(
         x=x0,
         lam=jnp.full((P,), opts.initial_lambda, f32),
@@ -135,6 +147,9 @@ def lm_solve(system_fn: Callable,
         done=init_done,
         it=jnp.asarray(0, jnp.int32),
         iterations=jnp.zeros((P,), jnp.int32),
+        cost_window=jnp.broadcast_to(cost0[:, None], (P, W)).astype(f32),
+        best_x=x0,
+        best_cost=cost0,
     )
 
     def cond(state: LMState):
@@ -152,7 +167,12 @@ def lm_solve(system_fn: Callable,
                              axis=1)
         actual = cost - new_cost
         rho = actual / jnp.maximum(pred, 1e-30)
-        accept = (actual > 0) & (pred > 0) & ~state.done
+        if opts.use_nonmonotonic_steps:
+            # GLL acceptance: beat the max cost over the recent window
+            ref_cost = jnp.max(state.cost_window, axis=1)
+            accept = (new_cost < ref_cost) & (pred > 0) & ~state.done
+        else:
+            accept = (actual > 0) & (pred > 0) & ~state.done
 
         # lambda update (Nielsen)
         lam_acc = state.lam * jnp.maximum(1.0 / 3.0,
@@ -164,6 +184,16 @@ def lm_solve(system_fn: Callable,
 
         x = jnp.where(accept[:, None], x_new, state.x)
         cost_out = jnp.where(accept, new_cost, cost)
+
+        # rolling window of accepted costs + best-iterate tracking
+        window = jnp.where(
+            accept[:, None],
+            jnp.concatenate([state.cost_window[:, 1:], new_cost[:, None]],
+                            axis=1),
+            state.cost_window)
+        improve = accept & (new_cost < state.best_cost)
+        best_x = jnp.where(improve[:, None], x_new, state.best_x)
+        best_cost = jnp.where(improve, new_cost, state.best_cost)
 
         # convergence tests (Ceres semantics)
         step_norm = jnp.linalg.norm(dx_eff * param_mask, axis=1)
@@ -181,10 +211,16 @@ def lm_solve(system_fn: Callable,
         done = state.done | conv_x | conv_f | conv_g | stuck
 
         iterations = state.iterations + (~state.done).astype(jnp.int32)
-        return LMState(x, lam, nu, cost_out, done, state.it + 1, iterations)
+        return LMState(x, lam, nu, cost_out, done, state.it + 1, iterations,
+                       window, best_x, best_cost)
 
     final = jax.lax.while_loop(cond, body, init)
-    summary = LMSummary(initial_cost=cost0, final_cost=final.cost,
+    # with non-monotonic acceptance the final iterate may be worse than the
+    # best one seen; return the best (Ceres returns the lowest-cost state)
+    x_out = jnp.where((final.best_cost < final.cost)[:, None], final.best_x,
+                      final.x)
+    cost_out = jnp.minimum(final.best_cost, final.cost)
+    summary = LMSummary(initial_cost=cost0, final_cost=cost_out,
                         iterations=final.iterations,
                         converged=final.done & problem_mask)
-    return final.x, summary
+    return x_out, summary

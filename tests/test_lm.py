@@ -80,3 +80,18 @@ def test_iteration_cap():
                           opts=LMOptions(max_iterations=3,
                                          parameter_tolerance=0.0))
     assert int(jnp.max(summary.iterations)) <= 3
+
+
+def test_nonmonotonic_acceptance():
+    """GLL acceptance still converges and returns the best iterate."""
+    system_fn, cost_fn, x_star = quadratic_problem(seed=5)
+    x0 = jnp.zeros((16, 6), jnp.float32)
+    x, summary = lm_solve(
+        system_fn, cost_fn, x0,
+        opts=LMOptions(max_iterations=60, parameter_tolerance=1e-8,
+                       use_nonmonotonic_steps=True, nonmonotonic_window=5))
+    np.testing.assert_allclose(np.asarray(x), x_star, atol=1e-3)
+    # final reported cost is the best cost seen
+    direct = np.asarray(cost_fn(jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(summary.final_cost), direct,
+                               atol=1e-5)
