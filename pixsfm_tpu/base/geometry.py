@@ -107,13 +107,22 @@ def rotmat_to_quat(R):
 
 
 def exp_quat(phi):
-    """so(3) tangent (..., 3) -> unit quaternion; small-angle safe."""
+    """so(3) tangent (..., 3) -> unit quaternion; small-angle safe.
+
+    Uses the double-where trick so that second (and higher) derivatives are
+    finite at phi = 0: the sqrt argument is replaced by 1 in the small-angle
+    branch, and the Taylor branch (polynomial in theta^2) supplies exact
+    derivatives there. A plain ``maximum(theta2, eps)`` clamp only protects
+    first derivatives — ``jax.hessian`` through it yields NaN at phi = 0.
+    """
     theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    half = 0.5 * theta
     small = theta2 < 1e-12
+    safe2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(safe2)
+    half = 0.5 * theta
     k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
-    w = jnp.where(small[..., 0], 1.0 - theta2[..., 0] / 8.0, jnp.cos(half[..., 0]))
+    w = jnp.where(small[..., 0], 1.0 - theta2[..., 0] / 8.0,
+                  jnp.cos(half[..., 0]))
     return jnp.concatenate([w[..., None], k * phi], axis=-1)
 
 

@@ -229,7 +229,7 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
                                 for t in range(int(counts[s]))]
             ref.costs = d2[s, :int(counts[s])].copy()
             ref.track_descriptors = track_desc[s, :int(counts[s])].copy()
-        if compute_offsets and n_nodes > 1:
+        if compute_offsets:
             ref.node_offsets3D = _node_offsets3D(
                 reconstruction, ref.source, pids[s], pf, interp)
         refs[pid] = ref

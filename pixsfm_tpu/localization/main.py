@@ -362,6 +362,73 @@ def _compiled_qba(model: str, interp_key, loss_key, max_iters: int,
     return run
 
 
+@lru_cache(maxsize=64)
+def _compiled_patch_warp_qba(model: str, interp_key, loss_key,
+                             max_iters: int):
+    """Jitted patch-warp pose refinement ("full" reference mode), cached per
+    static configuration. Each correspondence contributes the query
+    descriptors interpolated at the reprojections of ``X + node_offsets3D``
+    against the reference node descriptors (reference:
+    single_query_bundle_optimizer.h patch-warp overloads +
+    localization/main.py "full" references). Padded correspondences carry
+    weight 0."""
+    interp_single = InterpolationConfig(
+        mode=interp_key[0], l2_normalize=interp_key[1],
+        ncc_normalize=False, nodes=[[0.0, 0.0]])
+    ncc = interp_key[2]
+    from ..base.losses import RobustLoss
+    loss = RobustLoss(loss_key[0], list(loss_key[1]))
+
+    @jax.jit
+    def run(q0, t0, cam_params, patches, rows, corners, scales, ups, X,
+            offs, targets, w):
+        def cost_fn(d, q0_, t0_):
+            q = quat_normalize(quat_mul(exp_quat(d[:3]), q0_))
+            t = t0_ + d[3:]
+
+            def per_corr(row, corner, scale, up, Xi, off, tgt, wi):
+                def node(o):
+                    xy = world_to_pixel(model, cam_params, q, t, Xi + o)
+                    pc = (xy * scale - 0.5 - corner) * up
+                    return interpolate(patches[row], pc[1], pc[0],
+                                       interp_single)
+                f = jax.vmap(node)(off)          # [nodes, C]
+                if ncc:
+                    from ..base.interpolation import ncc_normalize
+                    f = ncc_normalize(f)
+                r = f.reshape(-1) - tgt
+                return wi * loss(jnp.sum(r * r))
+
+            costs = jax.vmap(per_corr)(rows, corners, scales, ups, X,
+                                       offs, targets, w)
+            return 0.5 * jnp.sum(costs)
+
+        def body(carry, _):
+            q, t, lam, cost = carry
+            zero = jnp.zeros(6, jnp.float32)
+            g = jax.grad(cost_fn)(zero, q, t)
+            H = jax.hessian(cost_fn)(zero, q, t)
+            D = jnp.clip(jnp.diag(H), 1e-8, 1e32)
+            d = -jnp.linalg.solve(H + lam * jnp.diag(D)
+                                  + 1e-8 * jnp.eye(6), g)
+            q_new = quat_normalize(quat_mul(exp_quat(d[:3]), q))
+            t_new = t + d[3:]
+            nc = cost_fn(zero, q_new, t_new)
+            acc = nc < cost
+            return (jnp.where(acc, q_new, q), jnp.where(acc, t_new, t),
+                    jnp.where(acc, lam / 3.0, lam * 4.0),
+                    jnp.where(acc, nc, cost)), None
+
+        zero = jnp.zeros(6, jnp.float32)
+        c0 = cost_fn(zero, q0, t0)
+        (q, t, _, c1), _ = jax.lax.scan(
+            body, (q0, t0, jnp.asarray(1e-4, jnp.float32), c0), None,
+            length=max_iters)
+        return q, t, c0, c1
+
+    return run
+
+
 class QueryBundleAdjuster:
     """Pose-only featuremetric refinement (reference: localization/main.py:194-258
     + single_query_bundle_optimizer.h:27-170)."""
@@ -397,6 +464,17 @@ class QueryBundleAdjuster:
         sel = [i for i in range(n) if inliers[i]]
         if not sel:
             return dict(qvec=qvec, tvec=tvec, skipped=True)
+
+        # "full" reference mode (patch-warp QBA): references are Reference
+        # objects; warp their interpolation nodes into the query via the
+        # stored 3D node offsets (reference: single_query_bundle_optimizer
+        # patch-warp overloads; requires references.compute_offsets3D=True).
+        from ..bundle_adjustment.references import Reference as _Ref
+        if isinstance(references[sel[0]], _Ref):
+            return self._refine_patch_warp(qvec, tvec, camera, points3D,
+                                           query_fmap, references, sel,
+                                           point2D_idxs, interp, loss,
+                                           max_iters)
 
         patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
         rows = _rows_for(query_fmap, row_of,
@@ -463,6 +541,64 @@ class QueryBundleAdjuster:
         return dict(qvec=np.asarray(q, np.float64),
                     tvec=np.asarray(t, np.float64),
                     camera_params=np.asarray(c, np.float64),
+                    initial_cost=float(c0), final_cost=float(c1))
+
+    def _refine_patch_warp(self, qvec, tvec, camera: Camera, points3D,
+                           query_fmap, references, sel, point2D_idxs,
+                           interp: InterpolationConfig, loss,
+                           max_iters: int) -> Dict:
+        """Patch-warp QBA: residual per correspondence = query descriptors at
+        the reprojections of (X + node_offsets3D) minus the reference's node
+        descriptors (NCC-normalized when configured)."""
+        patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
+        rows = _rows_for(query_fmap, row_of,
+                         [point2D_idxs[i] for i in sel]
+                         if point2D_idxs is not None else sel)
+        keep = [i for i in sel
+                if references[i].node_offsets3D is not None]
+        if not keep:
+            logger.warning("patch-warp QBA: references carry no "
+                           "node_offsets3D (set references."
+                           "compute_offsets3D=True); skipping")
+            return dict(qvec=qvec, tvec=tvec, skipped=True)
+        idx_of = {i: j for j, i in enumerate(sel)}
+        rows = rows[[idx_of[i] for i in keep]]
+        X = np.asarray([points3D[i] for i in keep], np.float32)
+        offs = np.stack([references[i].node_offsets3D
+                         for i in keep]).astype(np.float32)   # [n, nodes, 3]
+        targets = np.stack([references[i].descriptor
+                            for i in keep]).astype(np.float32)
+
+        # pad to pow2 buckets so repeated queries reuse the compiled program
+        n = len(keep)
+        n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 2)
+        w = np.zeros(n_pad, np.float32)
+        w[:n] = 1.0
+
+        def padn(a):
+            return np.concatenate(
+                [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]) \
+                if n_pad > n else a
+
+        np_pad = 1 << max(int(np.ceil(np.log2(max(patches.shape[0], 1)))), 2)
+        patches_p = np.concatenate(
+            [patches, np.zeros((np_pad - patches.shape[0],)
+                               + patches.shape[1:], patches.dtype)]) \
+            if np_pad > patches.shape[0] else patches
+
+        run = _compiled_patch_warp_qba(
+            camera.model,
+            (interp.mode, interp.l2_normalize, interp.ncc_normalize),
+            (loss.name, tuple(loss.params)), max_iters)
+        q, t, c0, c1 = run(
+            jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
+            jnp.asarray(camera.params, jnp.float32), jnp.asarray(patches_p),
+            jnp.asarray(padn(rows)), jnp.asarray(padn(corners[rows])),
+            jnp.asarray(padn(scales[rows])), jnp.asarray(padn(ups[rows])),
+            jnp.asarray(padn(X)), jnp.asarray(padn(offs)),
+            jnp.asarray(padn(targets)), jnp.asarray(w))
+        return dict(qvec=np.asarray(q, np.float64),
+                    tvec=np.asarray(t, np.float64),
                     initial_cost=float(c0), final_cost=float(c1))
 
     def refine_multilevel(self, qvec, tvec, camera, points3D, query_fmaps,
@@ -647,6 +783,9 @@ class QueryLocalizer:
                 inliers=inliers, point2D_idxs=pnp_point2D_idxs)
             pose_dict["qvec"] = out["qvec"]
             pose_dict["tvec"] = out["tvec"]
+            if "initial_cost" in out:
+                pose_dict["QBA"] = {"initial_cost": out["initial_cost"],
+                                    "final_cost": out["final_cost"]}
 
         errors = compute_reprojection_errors(
             pnp_points2D, pnp_points3D, pose_dict["qvec"],

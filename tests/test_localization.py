@@ -143,3 +143,148 @@ class TestQueryLocalizer:
         out = loc.localize(query.xys.copy(), p2D_idxs, p3D_ids, q_cam,
                            query_fmaps=[q_fmap])
         assert out["success"]
+
+
+class TestFullReferenceLocalize:
+    def test_localize_full_mode(self, rng):
+        """End-to-end localize() with target_reference='full': references
+        carry node_offsets3D and QBA takes the patch-warp path (QBA costs
+        are surfaced in the output dict)."""
+        from pixsfm_tpu.localization import QueryLocalizer
+
+        rec, fset = featuremetric_scene(seed=31, n_images=5, n_points=50)
+
+        class _Mgr:
+            num_levels = 1
+
+            def fset(self, i):
+                return fset
+
+        query = rec.images[5]
+        q_cam = rec.cameras[query.camera_id]
+        q_fmap = fset.get_map(query.name)
+        p2D_idxs = [i for i, pid in enumerate(query.point3D_ids) if pid >= 0]
+        p3D_ids = [int(query.point3D_ids[i]) for i in p2D_idxs]
+        rec2 = rec.copy()
+        for p in rec2.points3D.values():
+            p.track = [(i, j) for (i, j) in p.track if i != 5]
+        del rec2.images[5]
+        rec2.points3D = {pid: p for pid, p in rec2.points3D.items()
+                         if p.track_length >= 2}
+        pairs = [(i, pid) for i, pid in zip(p2D_idxs, p3D_ids)
+                 if pid in rec2.points3D]
+        p2D_idxs = [a for a, b in pairs]
+        p3D_ids = [b for a, b in pairs]
+
+        nodes = [[float(dx), float(dy)] for dy in (-0.5, 0.5)
+                 for dx in (-0.5, 0.5)]
+        loc = QueryLocalizer(
+            rec2,
+            conf={"interpolation": {"mode": "BICUBIC", "l2_normalize": False,
+                                    "nodes": nodes},
+                  "target_reference": "full",
+                  "references": {"iters": 20, "keep_observations": True,
+                                 "compute_offsets3D": True},
+                  "QKA": {"apply": False},
+                  "QBA": {"apply": True,
+                          "interpolation": {"mode": "BICUBIC",
+                                            "l2_normalize": False,
+                                            "nodes": nodes},
+                          "optimizer": {
+                              "solver": {"max_num_iterations": 10}}}},
+            dense_features=_Mgr())
+        out = loc.localize(query.xys.copy(), p2D_idxs, p3D_ids, q_cam,
+                           query_fmaps=[q_fmap])
+        assert out["success"]
+        assert out["num_inliers"] >= 0.9 * len(p2D_idxs)
+        np.testing.assert_allclose(out["tvec"], query.tvec, atol=0.05)
+        # patch-warp QBA ran (not skipped) and its costs are surfaced
+        assert "QBA" in out
+        assert out["QBA"]["final_cost"] <= out["QBA"]["initial_cost"]
+
+
+class TestQKAStacked:
+    def test_stacked_correspondences(self, rng):
+        """One keypoint matched to multiple 3D points: the stacked mode refines
+        each unique keypoint once against all its targets."""
+        from pixsfm_tpu.features.featuremaps import FeatureMap, FeaturePatch
+        from pixsfm_tpu.localization import QueryKeypointAdjuster
+
+        ps, C = 16, 4
+        rng2 = np.random.default_rng(7)
+        y, x = np.meshgrid(np.arange(ps), np.arange(ps), indexing="ij")
+        grad = rng2.normal(0, 0.2, (C, 2))
+        base = rng2.normal(0, 1, C)
+        patch = (base[None, None]
+                 + grad[None, None, :, 0] * x[..., None]
+                 + grad[None, None, :, 1] * y[..., None]).astype(np.float32)
+        fmap = FeatureMap(is_sparse=True)
+        fmap.patches[0] = FeaturePatch(patch, [0, 0], [1.0, 1.0])
+
+        true_xy = np.array([8.7, 7.9])
+        target = (base + grad[:, 0] * (true_xy[0] - 0.5)
+                  + grad[:, 1] * (true_xy[1] - 0.5)).astype(np.float32)
+
+        qka = QueryKeypointAdjuster({
+            "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+            "stack_correspondences": True,
+            "optimizer": {"bound": 4.0,
+                          "solver": {"max_num_iterations": 30}}})
+        kps = np.array([[7.0, 7.0], [7.0, 7.0]])  # same kp, two corrs
+        refs = [target, target]
+        qka.refine(kps, fmap, refs, point2D_idxs=[0, 0])
+        np.testing.assert_allclose(kps[0], kps[1], atol=1e-6)
+        np.testing.assert_allclose(kps[0], true_xy, atol=0.1)
+
+
+class TestPatchWarpQBA:
+    def test_full_reference_mode(self, rng):
+        """QBA with Reference objects + node offsets recovers a pose nudge."""
+        from pixsfm_tpu.localization import QueryBundleAdjuster
+        from tests.test_feature_reference_ba import featuremetric_scene
+        from pixsfm_tpu.bundle_adjustment import extract_references
+        from pixsfm_tpu.bundle_adjustment.problem import pack_ba_problem
+        from pixsfm_tpu.features.featuremaps import FeatureView
+        from pixsfm_tpu.base.interpolation import InterpolationConfig
+        from pixsfm_tpu.base.geometry import exp_quat, quat_mul, quat_normalize
+        import jax.numpy as jnp
+
+        rec, fset = featuremetric_scene(seed=23, n_images=4, n_points=25)
+        nodes = [[float(dx), float(dy)] for dy in (-0.5, 0.5)
+                 for dx in (-0.5, 0.5)]
+        interp = InterpolationConfig(mode="BICUBIC", l2_normalize=False,
+                                     nodes=nodes)
+        packed = pack_ba_problem(rec)
+        view = FeatureView.from_reconstruction(fset, rec, packed.point_ids)
+        refs = extract_references(
+            rec, fset, view,
+            {"loss": {"name": "cauchy", "params": [0.25]}, "iters": 10,
+             "keep_observations": True, "compute_offsets3D": True}, interp)
+
+        # the query = image 4 with a perturbed pose
+        im = rec.images[4]
+        q_fmap = fset.get_map(im.name)
+        p2D_idxs = [i for i, pid in enumerate(im.point3D_ids)
+                    if pid >= 0 and pid in refs]
+        p3D_ids = [int(im.point3D_ids[i]) for i in p2D_idxs]
+        points3D = [rec.points3D[p].xyz for p in p3D_ids]
+        references = [refs[p] for p in p3D_ids]
+
+        q_true, t_true = im.qvec.copy(), im.tvec.copy()
+        q0 = np.asarray(quat_normalize(quat_mul(
+            exp_quat(jnp.asarray([2e-3, -1e-3, 1e-3])),
+            jnp.asarray(q_true))))
+        t0 = t_true + np.array([5e-3, -4e-3, 6e-3])
+
+        qba = QueryBundleAdjuster({
+            "interpolation": {"mode": "BICUBIC", "l2_normalize": False,
+                              "nodes": nodes},
+            "optimizer": {"loss": {"name": "trivial", "params": []},
+                          "solver": {"max_num_iterations": 25}}})
+        cam = rec.cameras[im.camera_id]
+        out = qba.refine(q0, t0, cam, points3D, q_fmap, references,
+                         point2D_idxs=p2D_idxs)
+        assert out["final_cost"] < out["initial_cost"]
+        err0 = np.linalg.norm(t0 - t_true)
+        err1 = np.linalg.norm(out["tvec"] - t_true)
+        assert err1 < err0 * 0.5, f"{err0} -> {err1}"
