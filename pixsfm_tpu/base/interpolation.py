@@ -280,8 +280,10 @@ def _bicubic_fit_matrix():
                 rows.append([mono(i, j, x, y, dx, dy)
                              for j in range(4) for i in range(4)])
         A = np.array(rows, dtype=np.float64)
-        _BICUBIC_FIT_A_INV = jnp.asarray(np.linalg.inv(A), dtype=jnp.float32)
-    return _BICUBIC_FIT_A_INV
+        # cache as NUMPY: caching a jnp array created under an active trace
+        # leaks a tracer into later traces (UnexpectedTracerError)
+        _BICUBIC_FIT_A_INV = np.linalg.inv(A).astype(np.float32)
+    return jnp.asarray(_BICUBIC_FIT_A_INV)
 
 
 def _bicubic_gradient_field_full(patch, r, c):

@@ -56,18 +56,27 @@ def _costmap_kernel(patches, refs, loss: RobustLoss, l2_normalize: bool,
     s = jnp.sum(res * res, axis=-1)
     cost = 0.5 * loss(s)
     w = loss.weight(s)
-    dcostdr = w * jnp.sum(res * dfdr, axis=-1)
-    dcostdc = w * jnp.sum(res * dfdc, axis=-1)
+    rdotr = jnp.sum(res * dfdr, axis=-1)
+    rdotc = jnp.sum(res * dfdc, axis=-1)
+    dcostdr = w * rdotr
+    dcostdc = w * rdotc
     small = cost <= 1e-8
     dcostdr = jnp.where(small, 0.0, dcostdr)
     dcostdc = jnp.where(small, 0.0, dcostdc)
     chans = [cost, dcostdr, dcostdc]
     if compute_cross:
-        # rho'' term omitted (reference costmap cross-derivative uses rho[2];
-        # the default config has compute_cross_derivative: False)
-        dpr = jnp.pad(dcostdr[..., None], ((0, 0), (1, 1), (1, 1), (0, 0)),
-                      mode="edge")[..., 0]
-        dcostdrc = 0.5 * (dpr[:, 1:-1, 2:] - dpr[:, 1:-1, :-2])
+        # analytic cross derivative (costmap_extractor rho[2] term):
+        #   d2cost/drdc = rho''(s) * 2 (res.f_c)(res.f_r)
+        #               + rho'(s) * (f_r.f_c + res.f_rc)
+        # rho'' via forward-mode AD of the elementwise IRLS weight
+        rho2 = jax.jvp(loss.weight, (s,), (jnp.ones_like(s),))[1]
+        f_rc = 0.5 * (jnp.pad(dfdr, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                              mode="edge")[:, :, 2:]
+                      - jnp.pad(dfdr, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                                mode="edge")[:, :, :-2])
+        dcostdrc = (rho2 * 2.0 * rdotc * rdotr
+                    + w * (jnp.sum(dfdr * dfdc, axis=-1)
+                           + jnp.sum(res * f_rc, axis=-1)))
         dcostdrc = jnp.where(small, 0.0, dcostdrc)
         chans.append(dcostdrc)
     return jnp.stack(chans, axis=-1)
@@ -176,6 +185,9 @@ def costmap_ba(adjuster, reconstruction: Reconstruction,
 
     flags = adjuster._optimizer_flags()
     packed = pack_ba_problem(reconstruction, problem_setup, **flags)
+    if len(packed.cam_models) > 1:
+        raise NotImplementedError(
+            f"costmap BA with mixed camera models: {packed.cam_models}")
     model = packed.cam_model
     loss = make_loss(conf.optimizer.get("loss"))
     opts = adjuster._ba_options()

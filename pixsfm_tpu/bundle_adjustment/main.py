@@ -63,6 +63,24 @@ def _safe_project(model, cam, qvec, tvec, X):
 
 
 def _build_geometric(model):
+    """model: camera-model name, or a tuple of names for mixed-model
+    problems — each observation then carries its model index and the
+    projection branch is chosen with ``lax.switch`` (static per-model code,
+    traced selection; jacfwd flows through the taken branch)."""
+    if isinstance(model, tuple) and len(model) > 1:
+        models = model
+
+        def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
+            xy_obs, mi = obs_slice
+            branches = [
+                (lambda m: lambda a: _safe_project(m, *a))(m) for m in models]
+            xy = jax.lax.switch(mi, branches, (cam, qvec, tvec, X))
+            return xy - xy_obs
+        return residual_fn
+
+    if isinstance(model, tuple):
+        model = model[0]
+
     def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
         xy_obs = obs_slice
         return _safe_project(model, cam, qvec, tvec, X) - xy_obs
@@ -268,7 +286,7 @@ class BundleAdjuster:
 
     def _run_ba(self, reconstruction: Reconstruction, packed: PackedBA,
                 residual_fn, obs_data, loss, opts: BAOptions,
-                pair_arrays=None) -> Dict:
+                pair_arrays=None, src_idx=None) -> Dict:
         t0 = time.time()
         O = len(packed.obs_img)
         if pair_arrays is None:
@@ -280,7 +298,9 @@ class BundleAdjuster:
             obs_data=obs_data,
             valid=jnp.ones((O,), bool),
             pair_o1=jnp.asarray(pair_arrays[0]),
-            pair_o2=jnp.asarray(pair_arrays[1]))
+            pair_o2=jnp.asarray(pair_arrays[1]),
+            src_idx=None if src_idx is None
+            else jnp.asarray(src_idx, jnp.int32))
         state0 = BAState(jnp.asarray(packed.qvec), jnp.asarray(packed.tvec),
                          jnp.asarray(packed.cams), jnp.asarray(packed.xyz))
         state, summary = ba_solve(
@@ -332,9 +352,14 @@ class GeometricBundleAdjuster(BundleAdjuster):
         packed = pack_ba_problem(reconstruction, problem_setup, **flags)
         loss = make_loss(self.conf.optimizer.get("loss"))
         opts = self._ba_options()
-        obs_data = np.asarray(packed.obs_xy, np.float32)
-        return self._run_ba_cached(reconstruction, packed,
-                                   ("geometric", packed.cam_model),
+        if len(packed.cam_models) > 1:
+            obs_data = (np.asarray(packed.obs_xy, np.float32),
+                        packed.cam_model_idx[packed.obs_cam])
+            key = ("geometric", packed.cam_models)
+        else:
+            obs_data = np.asarray(packed.obs_xy, np.float32)
+            key = ("geometric", packed.cam_model)
+        return self._run_ba_cached(reconstruction, packed, key,
                                    obs_data, (), loss, opts)
 
     # geometric BA needs no features
@@ -357,6 +382,10 @@ class FeatureReferenceBundleAdjuster(BundleAdjuster):
 
         flags = self._optimizer_flags()
         packed = pack_ba_problem(reconstruction, problem_setup, **flags)
+        if len(packed.cam_models) > 1:
+            raise NotImplementedError(
+                "feature_reference BA with mixed camera models: "
+                f"{packed.cam_models} (use the geometric strategy)")
         model = packed.cam_model
         interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
         loss = make_loss(self.conf.optimizer.get("loss"))
@@ -427,6 +456,9 @@ class PatchWarpBundleAdjuster(BundleAdjuster):
         "mode": "BICUBIC", "l2_normalize": False, "ncc_normalize": True,
     }
     default_conf["optimizer"]["regularize_source"] = {"n_nodes": 0}
+    # joint source-pose optimization (second pose block per observation in
+    # the Schur structure); only active when refine_extrinsics is on
+    default_conf["optimizer"]["optimize_source_poses"] = True
 
     def refine(self, reconstruction: Reconstruction, feature_set,
                problem_setup=None) -> Dict:

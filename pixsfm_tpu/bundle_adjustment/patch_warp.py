@@ -8,10 +8,20 @@ each node to 3D at the source depth (fronto-parallel assumption,
 the target patch at the warped nodes (NCC-normalized across nodes for photometric
 use) and subtract the source/reference node descriptors.
 
-Note: the source pose/intrinsics enter as constants here (per-observation arrays)
-rather than as a second optimized parameter block. The reference's shipped
-``photometric`` preset sets ``refine_extrinsics: false`` (configs/photometric.yaml),
-for which this is exact; joint source-target pose coupling is future work.
+Two coupling modes:
+
+- **joint** (default when ``refine_extrinsics`` is on): the source pose is a
+  second optimized parameter block per observation (``BAObservations.src_idx``)
+  — the Schur solver carries the full img<->src<->intrinsics cross terms, like
+  the reference's single Ceres cost functor over both poses
+  (patch_warp_bundle_optimizer.h:21-61). Disable with
+  ``optimizer.optimize_source_poses: false``.
+- **constant source**: source pose/intrinsics enter as per-observation
+  constants. Exact for the shipped ``photometric`` preset
+  (``refine_extrinsics: false``, configs/photometric.yaml).
+
+Source *intrinsics* are constants in both modes (the reference also keeps the
+source camera's intrinsics fixed inside the warp).
 """
 
 from __future__ import annotations
@@ -45,14 +55,15 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
     loss = make_loss(conf.optimizer.get("loss"))
     opts = adjuster._ba_options()
     flags = adjuster._optimizer_flags()
-    if flags["refine_extrinsics"]:
-        logger.warning("patch_warp: source poses are treated as constant; "
-                       "with refine_extrinsics=true the source side of each "
-                       "residual does not vary (photometric preset uses "
-                       "refine_extrinsics=false).")
+    joint_src = bool(conf.optimizer.get("optimize_source_poses", True)) \
+        and flags["refine_extrinsics"]
 
     packed = pack_ba_problem(reconstruction, problem_setup, **flags)
+    if len(packed.cam_models) > 1:
+        raise NotImplementedError(
+            f"patch_warp BA with mixed camera models: {packed.cam_models}")
     model = packed.cam_model
+    slot_of_image = {int(iid): s for s, iid in enumerate(packed.image_ids)}
 
     view = FeatureView.from_reconstruction(feature_set, reconstruction,
                                            packed.point_ids)
@@ -71,6 +82,7 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
     src_t = np.zeros((O, 3), np.float32)
     src_cam = packed.cams[packed.obs_cam].astype(np.float32).copy()
     src_scale = np.ones((O, 2), np.float32)
+    src_idx = np.zeros(O, np.int32)
     targets = np.zeros((O, interp.n_nodes * pf.channels), np.float32)
     valid = np.zeros(O, bool)
     for i in range(O):
@@ -90,6 +102,17 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
         src_scale[i] = pf.scales[pf.row(s_im.name, s_p2D)]
         targets[i] = ref.descriptor
         valid[i] = True
+        if joint_src:
+            slot = slot_of_image.get(int(s_iid))
+            if slot is None:
+                # source view outside the problem (partial BA): fall back to
+                # constant-source mode for every observation
+                logger.warning(
+                    "patch_warp: source image %d not in the problem; "
+                    "treating all source poses as constant.", s_iid)
+                joint_src = False
+            else:
+                src_idx[i] = slot
 
     patches = jnp.asarray(pf.patches)
     corners = jnp.asarray(pf.corners.astype(np.float32))
@@ -98,17 +121,13 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
     nodes = jnp.asarray(interp.nodes_array())  # [n, 2] (dx, dy)
     C = pf.channels
 
-    obs_data = (jnp.asarray(rows), jnp.asarray(src_q), jnp.asarray(src_t),
-                jnp.asarray(src_cam), jnp.asarray(src_scale),
-                jnp.asarray(targets), jnp.asarray(valid.astype(np.float32)))
-
     interp_single = InterpolationConfig(
         mode=interp.mode, l2_normalize=interp.l2_normalize,
         ncc_normalize=False, nodes=[[0.0, 0.0]])
 
-    def residual_fn(qvec, tvec, cam, X, obs_slice):
-        row, sq, st, scam, sscale, target, v = obs_slice
-        # project into source; fronto-parallel node lift at source depth
+    def warp_residual(qvec, tvec, cam, sq, st, scam, sscale, row, target,
+                      v, X):
+        """Shared warp: source-node lift at source depth -> target patch."""
         x_src = apply_pose(sq, st, X)
         depth = x_src[2]
         uv_s = x_src[:2] / depth
@@ -132,7 +151,31 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
         r = f.reshape(-1) - target
         return r * v
 
-    out = adjuster._run_ba(reconstruction, packed, residual_fn, obs_data,
-                           loss, opts)
+    if joint_src:
+        obs_data = (jnp.asarray(rows), jnp.asarray(src_cam),
+                    jnp.asarray(src_scale), jnp.asarray(targets),
+                    jnp.asarray(valid.astype(np.float32)))
+
+        def residual_fn(qvec, tvec, src_qvec, src_tvec, cam, X, obs_slice):
+            row, scam, sscale, target, v = obs_slice
+            return warp_residual(qvec, tvec, cam, src_qvec, src_tvec, scam,
+                                 sscale, row, target, v, X)
+
+        out = adjuster._run_ba(reconstruction, packed, residual_fn, obs_data,
+                               loss, opts, src_idx=src_idx)
+    else:
+        obs_data = (jnp.asarray(rows), jnp.asarray(src_q),
+                    jnp.asarray(src_t), jnp.asarray(src_cam),
+                    jnp.asarray(src_scale), jnp.asarray(targets),
+                    jnp.asarray(valid.astype(np.float32)))
+
+        def residual_fn(qvec, tvec, cam, X, obs_slice):
+            row, sq, st, scam, sscale, target, v = obs_slice
+            return warp_residual(qvec, tvec, cam, sq, st, scam, sscale, row,
+                                 target, v, X)
+
+        out = adjuster._run_ba(reconstruction, packed, residual_fn, obs_data,
+                               loss, opts)
     out["num_residuals"] = int(valid.sum())
+    out["joint_source_poses"] = joint_src
     return out

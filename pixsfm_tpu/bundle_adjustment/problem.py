@@ -88,9 +88,11 @@ class PackedBA:
     """Flat arrays for the Schur solver + bookkeeping to write results back."""
     qvec: np.ndarray         # [I, 4]
     tvec: np.ndarray         # [I, 3]
-    cams: np.ndarray         # [Nc, k]
+    cams: np.ndarray         # [Nc, k] (params padded to the widest model)
     xyz: np.ndarray          # [Np, 3]
-    cam_model: str
+    cam_model: str           # first model (the only one when homogeneous)
+    cam_models: tuple        # all distinct models, sorted
+    cam_model_idx: np.ndarray  # [Nc] index into cam_models
     # observations
     obs_img: np.ndarray      # [O] image slot
     obs_cam: np.ndarray      # [O] camera slot
@@ -115,8 +117,9 @@ class PackedBA:
             im.qvec = np.asarray(qvec[slot], np.float64)
             im.tvec = np.asarray(tvec[slot], np.float64)
         for slot, cid in enumerate(self.camera_ids):
-            reconstruction.cameras[cid].params = np.asarray(cams[slot],
-                                                            np.float64)
+            cam = reconstruction.cameras[cid]
+            kc = CAMERA_MODELS[cam.model].num_params
+            cam.params = np.asarray(cams[slot][:kc], np.float64)
         for slot, pid in enumerate(self.point_ids):
             reconstruction.points3D[pid].xyz = np.asarray(xyz[slot],
                                                           np.float64)
@@ -154,17 +157,23 @@ def pack_ba_problem(reconstruction: Reconstruction,
     camera_ids = sorted({reconstruction.images[i].camera_id
                          for i in image_ids})
     cam_slot = {c: s for s, c in enumerate(camera_ids)}
-    models = {reconstruction.cameras[c].model for c in camera_ids}
-    if len(models) > 1:
-        raise NotImplementedError(
-            f"mixed camera models in one BA problem: {models}")
-    model = models.pop()
-    k = CAMERA_MODELS[model].num_params
+    models = sorted({reconstruction.cameras[c].model for c in camera_ids})
+    model = models[0]
+    # mixed models: pad every camera's params to the widest model; the
+    # residual selects the projection branch per observation via
+    # cam_model_idx (lax.switch)
+    k = max(CAMERA_MODELS[m].num_params for m in models)
+    cam_model_idx = np.array(
+        [models.index(reconstruction.cameras[c].model) for c in camera_ids],
+        np.int32)
 
     I, Nc, Np = len(image_ids), len(camera_ids), len(point_ids)
     qvec = np.stack([reconstruction.images[i].qvec for i in image_ids])
     tvec = np.stack([reconstruction.images[i].tvec for i in image_ids])
-    cams = np.stack([reconstruction.cameras[c].params for c in camera_ids])
+    cams = np.zeros((Nc, k))
+    for s, c in enumerate(camera_ids):
+        p = reconstruction.cameras[c].params
+        cams[s, :len(p)] = p
     xyz = np.stack([reconstruction.points3D[p].xyz for p in point_ids]) \
         if Np else np.zeros((0, 3))
 
@@ -191,14 +200,15 @@ def pack_ba_problem(reconstruction: Reconstruction,
             for c in coords:
                 tvec_free[img_slot[iid], c] = False
 
-    spec = CAMERA_MODELS[model]
     cam_free = np.zeros((Nc, k), bool)
-    if refine_focal_length:
-        cam_free[:, list(spec.focal_idxs)] = True
-    if refine_principal_point:
-        cam_free[:, list(spec.pp_idxs)] = True
-    if refine_extra_params and spec.extra_idxs:
-        cam_free[:, list(spec.extra_idxs)] = True
+    for s, c in enumerate(camera_ids):
+        spec = CAMERA_MODELS[reconstruction.cameras[c].model]
+        if refine_focal_length:
+            cam_free[s, list(spec.focal_idxs)] = True
+        if refine_principal_point:
+            cam_free[s, list(spec.pp_idxs)] = True
+        if refine_extra_params and spec.extra_idxs:
+            cam_free[s, list(spec.extra_idxs)] = True
 
     point_free = np.array([
         (p not in setup.constant_points)
@@ -209,6 +219,7 @@ def pack_ba_problem(reconstruction: Reconstruction,
         qvec=qvec.astype(np.float32), tvec=tvec.astype(np.float32),
         cams=cams.astype(np.float32),
         xyz=xyz.astype(np.float32), cam_model=model,
+        cam_models=tuple(models), cam_model_idx=cam_model_idx,
         obs_img=np.asarray(obs_img, np.int32),
         obs_cam=np.asarray(obs_cam, np.int32),
         obs_pt=np.asarray(obs_pt, np.int32),

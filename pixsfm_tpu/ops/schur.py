@@ -53,6 +53,11 @@ class BAOptions:
     max_diagonal: float = 1e32
     use_inner_iterations: bool = False
     inner_iteration_count: int = 2
+    # Ceres use_nonmonotonic_steps: GLL acceptance against the max cost of
+    # the last `nonmonotonic_window` accepted iterates; the best-seen state
+    # is returned (matches ops/lm.py).
+    use_nonmonotonic_steps: bool = False
+    nonmonotonic_window: int = 10
     obs_chunk: int = 8192
     # "dense": materialize the reduced camera system from track pairs and
     # Cholesky it (DENSE_SCHUR). "cg": matrix-free preconditioned CG on the
@@ -72,6 +77,9 @@ class BAOptions:
             function_tolerance=float(get("function_tolerance", 0.0) or 0.0),
             gradient_tolerance=float(get("gradient_tolerance", 0.0) or 0.0),
             use_inner_iterations=bool(get("use_inner_iterations", False)),
+            use_nonmonotonic_steps=bool(get("use_nonmonotonic_steps", False)),
+            nonmonotonic_window=int(
+                get("max_consecutive_nonmonotonic_steps", 10) or 10),
             max_linear_solver_iterations=int(
                 get("max_linear_solver_iterations", 100) or 100),
         )
@@ -95,6 +103,10 @@ class BAObservations(NamedTuple):
     valid: jnp.ndarray       # [O] bool (padding mask)
     pair_o1: jnp.ndarray     # [Q] int32 ordered same-track observation pairs
     pair_o2: jnp.ndarray     # [Q] int32
+    # optional second pose block per observation (patch-warp source view,
+    # reference: patch_warp_bundle_optimizer.h source pose parameter block).
+    # None -> single pose block per observation.
+    src_idx: Optional[jnp.ndarray] = None   # [O] int32 -> image slot
 
 
 class _LMState(NamedTuple):
@@ -105,6 +117,9 @@ class _LMState(NamedTuple):
     done: jnp.ndarray
     it: jnp.ndarray
     iters_used: jnp.ndarray
+    cost_window: jnp.ndarray   # [W] recent accepted costs (nonmonotonic)
+    best_state: BAState
+    best_cost: jnp.ndarray
 
 
 def make_pair_list(pt_idx: np.ndarray, n_points: int
@@ -150,12 +165,23 @@ def ba_solve(residual_fn: Callable,
     (must be jacfwd-able; obs_slice is one element of obs.obs_data; ``ctx`` is
     an optional pytree of shared arrays — passing shared data through ctx
     instead of Python closures lets callers cache one jitted instance of the
-    whole solve)."""
+    whole solve).
+
+    When ``obs.src_idx`` is set, each observation carries a SECOND optimized
+    pose block (the patch-warp source view) and the residual signature becomes
+    ``residual_fn(q, t, q_src, t_src, cam, X, obs_slice[, ctx])``. The
+    camera-side normal matrix is then assembled from per-observation full
+    blocks so the img<->src<->intrinsics cross terms are exact (the reference
+    couples both poses through one Ceres cost functor,
+    patch_warp_bundle_optimizer.h:21-61)."""
     I = state0.qvec.shape[0]
     Nc, k = state0.cams.shape
     Np = state0.xyz.shape[0]
     M = 6 * I + k * Nc
     O = obs.img_idx.shape[0]
+    has_src = obs.src_idx is not None
+    PB = 12 if has_src else 6        # pose tangent rows per observation
+    NR = PB + k                      # camera-side rows per observation
 
     pose_mask6 = jnp.repeat(pose_free[:, None], 6, axis=1).at[:, 3:].set(
         tvec_free & pose_free[:, None])                       # [I, 6]
@@ -167,12 +193,24 @@ def ba_solve(residual_fn: Callable,
         img = obs.img_idx[oi]
         cam = obs.cam_idx[oi]
         pt = obs.pt_idx[oi]
-        dp, dc, dx = d[:6], d[6:6 + k], d[6 + k:]
+        dp = d[:6]
         q = quat_normalize(quat_mul(exp_quat(dp[:3]), state.qvec[img]))
         t = state.tvec[img] + dp[3:]
+        sl = jax.tree_util.tree_map(lambda a: a[oi], obs.obs_data)
+        if has_src:
+            src = obs.src_idx[oi]
+            ds, dc, dx = d[6:12], d[12:12 + k], d[12 + k:]
+            qs = quat_normalize(quat_mul(exp_quat(ds[:3]), state.qvec[src]))
+            ts = state.tvec[src] + ds[3:]
+            c = state.cams[cam] + dc
+            X = state.xyz[pt] + dx
+            try:
+                return residual_fn(q, t, qs, ts, c, X, sl, ctx)
+            except TypeError:
+                return residual_fn(q, t, qs, ts, c, X, sl)
+        dc, dx = d[6:6 + k], d[6 + k:]
         c = state.cams[cam] + dc
         X = state.xyz[pt] + dx
-        sl = jax.tree_util.tree_map(lambda a: a[oi], obs.obs_data)
         try:
             return residual_fn(q, t, c, X, sl, ctx)
         except TypeError:
@@ -182,7 +220,7 @@ def ba_solve(residual_fn: Callable,
 
     def eval_chunked(state: BAState, with_jac: bool):
         """Chunked per-obs eval → (cost, per-obs W blocks, reductions)."""
-        zeros_d = jnp.zeros(6 + k + 3, jnp.float32)
+        zeros_d = jnp.zeros(PB + k + 3, jnp.float32)
         oidx = jnp.arange(pad_O, dtype=jnp.int32) % jnp.maximum(O, 1)
         ochunks = oidx.reshape(-1, opts.obs_chunk)
         vmask = jnp.where(jnp.arange(pad_O) < O, 1.0, 0.0) \
@@ -206,16 +244,15 @@ def ba_solve(residual_fn: Callable,
                 img = obs.img_idx[ois]
                 cam = obs.cam_idx[ois]
                 pt = obs.pt_idx[ois]
+                Jcam = J[:, :, :NR]              # pose (+src pose) + cam rows
                 Jp = J[:, :, :6]
-                Jc = J[:, :, 6:6 + k]
-                Jx = J[:, :, 6 + k:]
+                Jc = J[:, :, PB:PB + k]
+                Jx = J[:, :, PB + k:]
                 wJp = w * Jp
                 out["Hpp"] = carry["Hpp"].at[img].add(
                     jnp.einsum("oca,ocb->oab", wJp, Jp))
                 out["Hcc"] = carry["Hcc"].at[cam].add(
                     jnp.einsum("oca,ocb->oab", w * Jc, Jc))
-                out["Hpc"] = carry["Hpc"].at[img].add(
-                    jnp.einsum("oca,ocb->oab", wJp, Jc))
                 out["V"] = carry["V"].at[pt].add(
                     jnp.einsum("oca,ocb->oab", w * Jx, Jx))
                 out["gp"] = carry["gp"].at[img].add(
@@ -224,11 +261,25 @@ def ba_solve(residual_fn: Callable,
                     jnp.einsum("oca,oc->oa", w * Jc, r))
                 out["gx"] = carry["gx"].at[pt].add(
                     jnp.einsum("oca,oc->oa", w * Jx, r))
-                # per-obs W blocks for the Schur pair reduction (small: [O,9,3]).
-                # .add, not .set: padded slots wrap to real indices with w=0.
-                Bblk = jnp.einsum("oca,ocb->oab",
-                                  w * jnp.concatenate([Jp, Jc], axis=2), Jx)
+                # per-obs W blocks for the Schur pair reduction (small:
+                # [O,NR,3]). .add, not .set: padded slots wrap to real
+                # indices with w=0.
+                Bblk = jnp.einsum("oca,ocb->oab", w * Jcam, Jx)
                 out["B"] = carry["B"].at[ois].add(Bblk)
+                if has_src:
+                    src = obs.src_idx[ois]
+                    Js = J[:, :, 6:12]
+                    out["Hpp"] = out["Hpp"].at[src].add(
+                        jnp.einsum("oca,ocb->oab", w * Js, Js))
+                    out["gp"] = out["gp"].at[src].add(
+                        jnp.einsum("oca,oc->oa", w * Js, r))
+                    # full per-obs camera-side block: carries every
+                    # img<->src<->intrinsics cross term
+                    out["Aob"] = carry["Aob"].at[ois].add(
+                        jnp.einsum("oca,ocb->oab", w * Jcam, Jcam))
+                else:
+                    out["Hpc"] = carry["Hpc"].at[img].add(
+                        jnp.einsum("oca,ocb->oab", wJp, Jc))
             return out, None
 
         carry = dict(cost=jnp.asarray(0.0, jnp.float32))
@@ -236,13 +287,16 @@ def ba_solve(residual_fn: Callable,
             carry.update(
                 Hpp=jnp.zeros((I, 6, 6), jnp.float32),
                 Hcc=jnp.zeros((Nc, k, k), jnp.float32),
-                Hpc=jnp.zeros((I, 6, k), jnp.float32),
                 V=jnp.zeros((Np, 3, 3), jnp.float32),
                 gp=jnp.zeros((I, 6), jnp.float32),
                 gc=jnp.zeros((Nc, k), jnp.float32),
                 gx=jnp.zeros((Np, 3), jnp.float32),
-                B=jnp.zeros((O, 6 + k, 3), jnp.float32),
+                B=jnp.zeros((O, NR, 3), jnp.float32),
             )
+            if has_src:
+                carry["Aob"] = jnp.zeros((O, NR, NR), jnp.float32)
+            else:
+                carry["Hpc"] = jnp.zeros((I, 6, k), jnp.float32)
         carry, _ = jax.lax.scan(chunk_fn, carry,
                                 (ochunks, vmask))
         return carry
@@ -254,6 +308,16 @@ def ba_solve(residual_fn: Callable,
     obs_cam_of_img = jnp.zeros((I,), jnp.int32).at[obs.img_idx].set(
         obs.cam_idx)
 
+    # global camera-system row index per observation row (has_src assembly):
+    # [img pose rows | src pose rows | intrinsics rows]
+    if has_src:
+        r6 = jnp.arange(6, dtype=jnp.int32)
+        rk = jnp.arange(k, dtype=jnp.int32)
+        obs_rows = jnp.concatenate([
+            obs.img_idx[:, None] * 6 + r6[None],
+            obs.src_idx[:, None] * 6 + r6[None],
+            6 * I + obs.cam_idx[:, None] * k + rk[None]], axis=1)  # [O, NR]
+
     def mask_system(sysd):
         """Zero out frozen parameter rows/cols in the block system."""
         pm = pose_mask6.astype(jnp.float32)
@@ -262,22 +326,28 @@ def ba_solve(residual_fn: Callable,
         sysd = dict(sysd)
         sysd["Hpp"] = sysd["Hpp"] * pm[:, :, None] * pm[:, None, :]
         sysd["Hcc"] = sysd["Hcc"] * cm[:, :, None] * cm[:, None, :]
-        sysd["Hpc"] = (sysd["Hpc"] * pm[:, :, None]
-                       * cm[obs_cam_of_img][:, None, :])
         sysd["V"] = sysd["V"] * xm[:, :, None] * xm[:, None, :]
         sysd["gp"] = sysd["gp"] * pm
         sysd["gc"] = sysd["gc"] * cm
         sysd["gx"] = sysd["gx"] * xm
         # B rows: pose part masked by image, cam part by its camera
-        bm = jnp.concatenate([pm[obs.img_idx],
-                              cm[obs.cam_idx]], axis=1)      # [O, 6+k]
+        if has_src:
+            bm = jnp.concatenate([pm[obs.img_idx], pm[obs.src_idx],
+                                  cm[obs.cam_idx]], axis=1)  # [O, NR]
+            sysd["Aob"] = sysd["Aob"] * bm[:, :, None] * bm[:, None, :]
+        else:
+            bm = jnp.concatenate([pm[obs.img_idx],
+                                  cm[obs.cam_idx]], axis=1)  # [O, 6+k]
+            sysd["Hpc"] = (sysd["Hpc"] * pm[:, :, None]
+                           * cm[obs_cam_of_img][:, None, :])
         sysd["B"] = sysd["B"] * bm[:, :, None] * xm[obs.pt_idx][:, None, :]
         return sysd
 
     def schur_step(sysd, lam):
         """One damped Schur solve → (d_pose [I,6], d_cam [Nc,k], d_xyz [Np,3],
         predicted_reduction)."""
-        Hpp, Hcc, Hpc = sysd["Hpp"], sysd["Hcc"], sysd["Hpc"]
+        Hpp, Hcc = sysd["Hpp"], sysd["Hcc"]
+        Hpc = sysd.get("Hpc")
         V, gp, gc, gx, B = sysd["V"], sysd["gp"], sysd["gc"], sysd["gx"], \
             sysd["B"]
 
@@ -296,30 +366,59 @@ def ba_solve(residual_fn: Callable,
             # it; the Schur term applies through per-observation W blocks.
             Hpp_d = damp(Hpp, pose_mask6)
             Hcc_d = damp(Hcc, cam_mask)
-            Bp = B[:, :6, :]                      # [O, 6, 3]
-            Bc = B[:, 6:, :]                      # [O, k, 3]
+
+            def gather_rows(vp, vc):
+                """Per-obs camera-side vector rows [O, NR]."""
+                if has_src:
+                    return jnp.concatenate([vp[obs.img_idx],
+                                            vp[obs.src_idx],
+                                            vc[obs.cam_idx]], axis=1)
+                return jnp.concatenate([vp[obs.img_idx],
+                                        vc[obs.cam_idx]], axis=1)
+
+            def scatter_rows(u_o, sign=1.0):
+                """Scatter per-obs camera-side rows back to (vp, vc)."""
+                up = jnp.zeros((I, 6), jnp.float32).at[obs.img_idx].add(
+                    sign * u_o[:, :6])
+                if has_src:
+                    up = up.at[obs.src_idx].add(sign * u_o[:, 6:12])
+                uc = jnp.zeros((Nc, k), jnp.float32).at[obs.cam_idx].add(
+                    sign * u_o[:, PB:])
+                return up, uc
+
+            if has_src:
+                Aob = sysd["Aob"]
+                # damping (+frozen-row fill) applied directly to the
+                # diagonal: Aob already contains the undamped diagonal blocks
+                Dp = jnp.clip(jnp.diagonal(Hpp, axis1=-2, axis2=-1),
+                              opts.min_diagonal, opts.max_diagonal)
+                Dc = jnp.clip(jnp.diagonal(Hcc, axis1=-2, axis2=-1),
+                              opts.min_diagonal, opts.max_diagonal)
+                fill_p = 1.0 - pose_mask6.astype(jnp.float32)
+                fill_c = 1.0 - cam_mask.astype(jnp.float32)
 
             def s_matvec(v):
                 vp, vc = v                        # [I,6], [Nc,k]
-                # A v
-                avp = jnp.einsum("iab,ib->ia", Hpp_d, vp) \
-                    + jnp.einsum("iak,ik->ia", Hpc, vc[obs_cam_of_img])
-                avc = jnp.einsum("cab,cb->ca", Hcc_d, vc)
-                avc = avc + jnp.zeros_like(avc).at[obs_cam_of_img].add(
-                    jnp.einsum("iak,ia->ik", Hpc, vp))
+                if has_src:
+                    # A v through per-obs full blocks + diagonal damping
+                    av_o = jnp.einsum("oab,ob->oa", Aob, gather_rows(vp, vc))
+                    avp, avc = scatter_rows(av_o)
+                    avp = avp + (lam * Dp + fill_p) * vp
+                    avc = avc + (lam * Dc + fill_c) * vc
+                else:
+                    avp = jnp.einsum("iab,ib->ia", Hpp_d, vp) \
+                        + jnp.einsum("iak,ik->ia", Hpc, vc[obs_cam_of_img])
+                    avc = jnp.einsum("cab,cb->ca", Hcc_d, vc)
+                    avc = avc + jnp.zeros_like(avc).at[obs_cam_of_img].add(
+                        jnp.einsum("iak,ia->ik", Hpc, vp))
                 # W^T v per obs -> per point
-                s_o = jnp.einsum("oa,oab->ob",
-                                 jnp.concatenate([vp[obs.img_idx],
-                                                  vc[obs.cam_idx]], axis=1),
+                s_o = jnp.einsum("oa,oab->ob", gather_rows(vp, vc),
                                  B)               # [O, 3]
                 t_p = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(s_o)
                 w_p = jnp.einsum("pab,pb->pa", Vinv, t_p)
-                u_o = jnp.einsum("oab,ob->oa", B, w_p[obs.pt_idx])  # [O,6+k]
-                avp = avp - jnp.zeros_like(avp).at[obs.img_idx].add(
-                    u_o[:, :6])
-                avc = avc - jnp.zeros_like(avc).at[obs.cam_idx].add(
-                    u_o[:, 6:])
-                return (avp, avc)
+                u_o = jnp.einsum("oab,ob->oa", B, w_p[obs.pt_idx])  # [O,NR]
+                up, uc = scatter_rows(u_o)
+                return (avp - up, avc - uc)
 
             # block-Jacobi preconditioner from the damped diagonal blocks
             Minv_p = jnp.linalg.inv(Hpp_d)
@@ -334,8 +433,8 @@ def ba_solve(residual_fn: Callable,
             corr = jnp.einsum("oab,ob->oa",
                               jnp.einsum("oab,obc->oac", B,
                                          Vinv[obs.pt_idx]), gx[obs.pt_idx])
-            rp = gp - jnp.zeros_like(gp).at[obs.img_idx].add(corr[:, :6])
-            rc = gc - jnp.zeros_like(gc).at[obs.cam_idx].add(corr[:, 6:])
+            cp, cc = scatter_rows(corr)
+            rp, rc = gp - cp, gc - cc
 
             from jax.scipy.sparse.linalg import cg as _cg
             (dp_neg, dc_neg), _ = _cg(
@@ -344,10 +443,8 @@ def ba_solve(residual_fn: Callable,
             d_pose = -dp_neg * pose_mask6.astype(jnp.float32)
             d_cam = -dc_neg * cam_mask.astype(jnp.float32)
 
-            dcam_obs = jnp.concatenate([d_pose[obs.img_idx],
-                                        d_cam[obs.cam_idx]], axis=1)
             t = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(
-                jnp.einsum("oab,oa->ob", B, dcam_obs))
+                jnp.einsum("oab,oa->ob", B, gather_rows(d_pose, d_cam)))
             d_xyz = -jnp.einsum("pab,pb->pa", Vinv, gx + t) * pt_mask
 
             g_all = jnp.concatenate([gp.reshape(-1), gc.reshape(-1),
@@ -366,6 +463,11 @@ def ba_solve(residual_fn: Callable,
 
         # assemble dense A [M, M] via block placements
         A = jnp.zeros((M, M), jnp.float32)
+        if has_src:
+            # every camera-side term (img/src pose + intrinsics, including
+            # all cross blocks) lives in the per-obs full blocks
+            A = A.at[obs_rows[:, :, None], obs_rows[:, None, :]].add(
+                sysd["Aob"])
 
         def place_pose(A):
             def body(i, A):
@@ -389,7 +491,8 @@ def ba_solve(residual_fn: Callable,
                 return jax.lax.dynamic_update_slice(A, blk, (r0, r0))
             return jax.lax.fori_loop(0, Nc, body, A)
 
-        A = place_cams(place_pose(A))
+        if not has_src:
+            A = place_cams(place_pose(A))
         # damping on the camera-side diagonal
         diagA = jnp.clip(jnp.diag(A), opts.min_diagonal, opts.max_diagonal)
         free_rows = jnp.concatenate([pose_mask6.reshape(-1),
@@ -402,37 +505,46 @@ def ba_solve(residual_fn: Callable,
         # S -= B[o1] @ Vinv[pt] @ B[o2]^T placed at (rows(o1), rows(o2))
         pt1 = obs.pt_idx[obs.pair_o1]
         T1 = jnp.einsum("qab,qbc->qac", B[obs.pair_o1], Vinv[pt1])
-        Cpair = jnp.einsum("qac,qdc->qad", T1, B[obs.pair_o2])  # [Q,6+k,6+k]
+        Cpair = jnp.einsum("qac,qdc->qad", T1, B[obs.pair_o2])  # [Q,NR,NR]
 
-        i1 = obs.img_idx[obs.pair_o1]
-        i2 = obs.img_idx[obs.pair_o2]
-        c1 = obs.cam_idx[obs.pair_o1]
-        c2 = obs.cam_idx[obs.pair_o2]
-        Spp = jnp.zeros((I, I, 6, 6), jnp.float32).at[i1, i2].add(
-            Cpair[:, :6, :6])
-        Spc = jnp.zeros((I, Nc, 6, k), jnp.float32).at[i1, c2].add(
-            Cpair[:, :6, 6:])
-        Scp = jnp.zeros((Nc, I, k, 6), jnp.float32).at[c1, i2].add(
-            Cpair[:, 6:, :6])
-        Scc = jnp.zeros((Nc, Nc, k, k), jnp.float32).at[c1, c2].add(
-            Cpair[:, 6:, 6:])
-        top = jnp.concatenate([
-            Spp.transpose(0, 2, 1, 3).reshape(6 * I, 6 * I),
-            Spc.transpose(0, 2, 1, 3).reshape(6 * I, k * Nc)], axis=1)
-        bot = jnp.concatenate([
-            Scp.transpose(0, 2, 1, 3).reshape(k * Nc, 6 * I),
-            Scc.transpose(0, 2, 1, 3).reshape(k * Nc, k * Nc)], axis=1)
-        S = A - jnp.concatenate([top, bot], axis=0)
+        if has_src:
+            r1 = obs_rows[obs.pair_o1]                          # [Q, NR]
+            r2 = obs_rows[obs.pair_o2]
+            S = A - jnp.zeros((M, M), jnp.float32).at[
+                r1[:, :, None], r2[:, None, :]].add(Cpair)
+        else:
+            i1 = obs.img_idx[obs.pair_o1]
+            i2 = obs.img_idx[obs.pair_o2]
+            c1 = obs.cam_idx[obs.pair_o1]
+            c2 = obs.cam_idx[obs.pair_o2]
+            Spp = jnp.zeros((I, I, 6, 6), jnp.float32).at[i1, i2].add(
+                Cpair[:, :6, :6])
+            Spc = jnp.zeros((I, Nc, 6, k), jnp.float32).at[i1, c2].add(
+                Cpair[:, :6, 6:])
+            Scp = jnp.zeros((Nc, I, k, 6), jnp.float32).at[c1, i2].add(
+                Cpair[:, 6:, :6])
+            Scc = jnp.zeros((Nc, Nc, k, k), jnp.float32).at[c1, c2].add(
+                Cpair[:, 6:, 6:])
+            top = jnp.concatenate([
+                Spp.transpose(0, 2, 1, 3).reshape(6 * I, 6 * I),
+                Spc.transpose(0, 2, 1, 3).reshape(6 * I, k * Nc)], axis=1)
+            bot = jnp.concatenate([
+                Scp.transpose(0, 2, 1, 3).reshape(k * Nc, 6 * I),
+                Scc.transpose(0, 2, 1, 3).reshape(k * Nc, k * Nc)], axis=1)
+            S = A - jnp.concatenate([top, bot], axis=0)
 
         # rhs: g_cam - sum_obs B_o Vinv_p g_p
         corr = jnp.einsum("oab,ob->oa",
                           jnp.einsum("oab,obc->oac", B,
                                      Vinv[obs.pt_idx]), gx[obs.pt_idx])
         rhs = jnp.zeros((M,), jnp.float32)
-        rhs = rhs.at[(obs.img_idx * 6)[:, None]
-                     + jnp.arange(6)[None]].add(corr[:, :6])
-        rhs = rhs.at[(6 * I + obs.cam_idx * k)[:, None]
-                     + jnp.arange(k)[None]].add(corr[:, 6:])
+        if has_src:
+            rhs = rhs.at[obs_rows].add(corr)
+        else:
+            rhs = rhs.at[(obs.img_idx * 6)[:, None]
+                         + jnp.arange(6)[None]].add(corr[:, :6])
+            rhs = rhs.at[(6 * I + obs.cam_idx * k)[:, None]
+                         + jnp.arange(k)[None]].add(corr[:, 6:])
         rhs = g_cam_full - rhs
 
         # Jacobi-scaled solve: BA camera systems are badly conditioned at pixel
@@ -445,8 +557,11 @@ def ba_solve(residual_fn: Callable,
         d_cam = dc_full[6 * I:].reshape(Nc, k)
 
         # back-substitute points: dx = -Vinv (gx + sum_obs B^T dcam_of_obs)
-        dcam_obs = jnp.concatenate([d_pose[obs.img_idx],
-                                    d_cam[obs.cam_idx]], axis=1)  # [O, 6+k]
+        if has_src:
+            dcam_obs = dc_full[obs_rows]                         # [O, NR]
+        else:
+            dcam_obs = jnp.concatenate([d_pose[obs.img_idx],
+                                        d_cam[obs.cam_idx]], axis=1)
         t = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(
             jnp.einsum("oab,oa->ob", B, dcam_obs))
         d_xyz = -jnp.einsum("pab,pb->pa", Vinv, gx + t)
@@ -496,7 +611,11 @@ def ba_solve(residual_fn: Callable,
         new_cost = cost_at(cand)
         actual = ls.cost - new_cost
         rho = actual / jnp.maximum(pred, 1e-30)
-        accept = (actual > 0) & (pred > 0)
+        if opts.use_nonmonotonic_steps:
+            # GLL acceptance: beat the max cost over the recent window
+            accept = (new_cost < jnp.max(ls.cost_window)) & (pred > 0)
+        else:
+            accept = (actual > 0) & (pred > 0)
 
         lam_acc = ls.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2 * rho - 1.0) ** 3)
         lam = jnp.clip(jnp.where(accept, lam_acc, ls.lam * ls.nu),
@@ -525,14 +644,31 @@ def ba_solve(residual_fn: Callable,
             if opts.function_tolerance > 0 else jnp.asarray(False)
         stuck = lam >= opts.max_lambda
         done = conv_x | conv_f | stuck
-        return _LMState(state, lam, nu, cost_after, done, ls.it + 1,
-                        ls.iters_used + 1)
 
+        window = jnp.where(
+            accept,
+            jnp.concatenate([ls.cost_window[1:], cost_after[None]]),
+            ls.cost_window)
+        improve = accept & (cost_after < ls.best_cost)
+        best_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improve, b, a), ls.best_state, state)
+        best_cost = jnp.where(improve, cost_after, ls.best_cost)
+        return _LMState(state, lam, nu, cost_after, done, ls.it + 1,
+                        ls.iters_used + 1, window, best_state, best_cost)
+
+    W = max(int(opts.nonmonotonic_window), 1)
     init = _LMState(state0, jnp.asarray(opts.initial_lambda, jnp.float32),
                     jnp.asarray(2.0, jnp.float32), cost0,
                     jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                    jnp.asarray(0, jnp.int32))
+                    jnp.asarray(0, jnp.int32),
+                    jnp.full((W,), cost0, jnp.float32), state0, cost0)
     final = jax.lax.while_loop(cond, body, init)
-    summary = dict(initial_cost=cost0, final_cost=final.cost,
+    # with non-monotonic acceptance the final iterate may be worse than the
+    # best one seen; return the best (Ceres returns the lowest-cost state)
+    better = final.best_cost < final.cost
+    out_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(better, b, a), final.state, final.best_state)
+    summary = dict(initial_cost=cost0,
+                   final_cost=jnp.minimum(final.cost, final.best_cost),
                    iterations=final.iters_used)
-    return final.state, summary
+    return out_state, summary

@@ -207,6 +207,39 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
         logger.warning("mapper: no pairwise matches; nothing to reconstruct")
         return rec
 
+    # --- Bougnoux two-view self-calibration: for EXIF-less images, estimate
+    # per-image focal lengths from pairwise fundamental matrices and seed the
+    # cameras with the median estimate (the focal sweep below then explores
+    # around that seed instead of the blind 1.2*max(w,h) prior).
+    seeded: set = set()
+    if not known_intrinsics:
+        from .two_view import estimate_pair_focal
+        est_by_cam: Dict[int, Tuple[Camera, List[float], List[str]]] = {}
+        pairs_by_size = sorted(pair_matches.items(), key=lambda kv: -len(kv[1]))
+        for (na_, nb_), ms_ in pairs_by_size[:30]:
+            if len(ms_) < 50:
+                continue
+            ca_, cb_ = cam_of[na_], cam_of[nb_]
+            f1, f2, ninl = estimate_pair_focal(
+                keypoints[na_], keypoints[nb_], np.asarray(ms_),
+                (ca_.width / 2, ca_.height / 2),
+                (cb_.width / 2, cb_.height / 2))
+            if ninl < 30:
+                continue
+            for name_, cam_, f_ in ((na_, ca_, f1), (nb_, cb_, f2)):
+                lim = max(cam_.width, cam_.height)
+                if np.isfinite(f_) and 0.25 * lim < f_ < 8 * lim:
+                    ent = est_by_cam.setdefault(id(cam_), (cam_, [], []))
+                    ent[1].append(f_)
+                    ent[2].append(name_)
+        for cam_, ests, names_ in est_by_cam.values():
+            if len(ests) >= 2:
+                cam_.params[0] = float(np.median(ests))
+                seeded.update(names_)
+        if seeded:
+            logger.info("mapper: Bougnoux focal seeds for %d image(s)",
+                        len(seeded))
+
     # --- initial pair: sweep focal factors per image (internet photos carry
     # no EXIF here; COLMAP similarly samples focals when priors are absent).
     # With known intrinsics the sweep collapses to the identity factor.
@@ -227,9 +260,12 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
     top_pairs = sorted(pair_matches.items(), key=pair_rank)[:3]
     for (na, nb), ms in top_pairs:
         ms = np.asarray(ms)
-        denom = 1.0 if known_intrinsics else 1.2
-        fa0 = cam_of[na].params[0] / denom
-        fb0 = cam_of[nb].params[0] / denom
+        # blind prior (1.2*max(w,h)) is biased high -> centre the sweep lower;
+        # a Bougnoux-seeded or known focal is already centred
+        fa0 = cam_of[na].params[0] / (
+            1.0 if known_intrinsics or na in seeded else 1.2)
+        fb0 = cam_of[nb].params[0] / (
+            1.0 if known_intrinsics or nb in seeded else 1.2)
         for fa in FOCAL_FACTORS:
             for fb in FOCAL_FACTORS:
                 ca = Camera(0, cam_of[na].model, cam_of[na].width,

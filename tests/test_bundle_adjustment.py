@@ -43,6 +43,49 @@ class TestGeometricBA:
         assert err_after < 0.02, f"{err_before} -> {err_after}"
         assert out["final_cost"] < out["initial_cost"] * 1e-3
 
+    def test_mixed_camera_models(self, rng):
+        """Two camera models in one problem: per-obs lax.switch projection,
+        params padded to the widest model."""
+        rec = synth(n_images=4, n_points=60, noise_px=0.0, seed=22,
+                    shared_camera=False, model="SIMPLE_RADIAL")
+        # convert half the cameras to RADIAL with k2=0 (identical projection,
+        # different parameter layout) so observations stay consistent
+        for cid in list(rec.cameras)[:2]:
+            cam = rec.cameras[cid]
+            cam.model = "RADIAL"
+            cam.params = np.concatenate([cam.params, [0.0]])
+        gt_f = {cid: rec.cameras[cid].params[0] for cid in rec.cameras}
+        perturb(rec, rng, pose_rot=0.005, pose_t=0.02, point_sigma=0.02)
+        adj = GeometricBundleAdjuster({
+            "optimizer": {"refine_focal_length": False,
+                          "refine_extra_params": False,
+                          "solver": {"max_num_iterations": 40,
+                                     "use_inner_iterations": False}}})
+        out = adj.refine(rec)
+        err_after = rec.mean_reprojection_error()
+        assert err_after < 0.02, err_after
+        assert out["final_cost"] < out["initial_cost"] * 1e-2
+        # models and param layouts survive the roundtrip
+        assert rec.cameras[list(rec.cameras)[0]].model == "RADIAL"
+        for cid, cam in rec.cameras.items():
+            assert cam.params[0] == pytest.approx(gt_f[cid])
+            assert len(cam.params) == (5 if cam.model == "RADIAL" else 4)
+
+    def test_nonmonotonic_steps(self, rng):
+        """GLL acceptance (use_nonmonotonic_steps) converges and reports the
+        best-seen cost."""
+        rec = synth(n_images=4, n_points=60, noise_px=0.0, seed=21)
+        perturb(rec, rng)
+        adj = GeometricBundleAdjuster({
+            "optimizer": {"solver": {"max_num_iterations": 50,
+                                     "use_inner_iterations": False,
+                                     "use_nonmonotonic_steps": True,
+                                     "max_consecutive_nonmonotonic_steps": 5}}})
+        out = adj.refine(rec)
+        err_after = rec.mean_reprojection_error()
+        assert err_after < 0.02
+        assert out["final_cost"] < out["initial_cost"] * 1e-3
+
     def test_constant_poses_respected(self, rng):
         rec = synth(n_images=3, n_points=50, noise_px=0.2, seed=2)
         setup = default_problem_setup(rec)
