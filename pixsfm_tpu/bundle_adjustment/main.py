@@ -221,12 +221,12 @@ class BundleAdjuster:
 
         # solver-by-size switch (reference bundle_optimizer.h:180-191): dense
         # Schur for small camera systems, matrix-free PCG beyond. The dense
-        # path also materializes one (6+k)^2 block per same-track observation
-        # pair, so long tracks force CG too.
+        # pair reduction is chunked (BAOptions.pair_chunk) so memory stays
+        # bounded; very long pair lists still favor CG for compute.
         M = 6 * len(packed.image_ids) + packed.cams.size
         track_lens = np.bincount(packed.obs_pt, minlength=max(Np, 1))
         n_pairs = int(np.sum(track_lens.astype(np.int64) ** 2))
-        if opts.linear_solver == "dense" and (M > 1500 or n_pairs > 300_000):
+        if opts.linear_solver == "dense" and (M > 1500 or n_pairs > 2_000_000):
             import dataclasses
             opts = dataclasses.replace(opts, linear_solver="cg")
         if opts.linear_solver == "cg":

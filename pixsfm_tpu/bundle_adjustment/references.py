@@ -217,7 +217,9 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
     for i, s in enumerate(obs_pt):
         track_elems[(int(s), int(obs_slot[i]))] = obs_track[i]
 
-    for s, pid in enumerate(pids):
+    from ..util.misc import progress_iter
+    for s, pid in progress_iter(list(enumerate(pids)), desc="references",
+                                min_items=2000):
         if counts[s] == 0:
             continue
         b = int(best[s])

@@ -54,7 +54,9 @@ def features_from_image_list(extractor: FeatureExtractor, image_list,
         init_cache(cache_path, channels, int(extractor.conf.patch_size),
                    str(extractor.conf.dtype), overwrite=True)
 
-    for image_name in image_list:
+    from .util.misc import progress_iter
+    for image_name in progress_iter(list(image_list),
+                                    desc="feature extraction"):
         kps = keypoints_per_image.get(image_name)
         kp_ids = (keypoint_ids_per_image or {}).get(image_name)
         fmaps = extractor(image_dir / image_name, keypoints=kps,

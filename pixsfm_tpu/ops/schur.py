@@ -59,6 +59,9 @@ class BAOptions:
     use_nonmonotonic_steps: bool = False
     nonmonotonic_window: int = 10
     obs_chunk: int = 8192
+    # dense-path Schur pair reduction chunk: bounds the [Q, NR, NR] pair-block
+    # intermediate (one lax.scan step materializes pair_chunk blocks at a time)
+    pair_chunk: int = 131072
     # "dense": materialize the reduced camera system from track pairs and
     # Cholesky it (DENSE_SCHUR). "cg": matrix-free preconditioned CG on the
     # Schur complement (ITERATIVE_SCHUR + block-Jacobi — the reference's
@@ -308,15 +311,15 @@ def ba_solve(residual_fn: Callable,
     obs_cam_of_img = jnp.zeros((I,), jnp.int32).at[obs.img_idx].set(
         obs.cam_idx)
 
-    # global camera-system row index per observation row (has_src assembly):
-    # [img pose rows | src pose rows | intrinsics rows]
+    # global camera-system row index per observation row:
+    # [img pose rows | (src pose rows) | intrinsics rows]
+    r6 = jnp.arange(6, dtype=jnp.int32)
+    rk = jnp.arange(k, dtype=jnp.int32)
+    _row_parts = [obs.img_idx[:, None] * 6 + r6[None]]
     if has_src:
-        r6 = jnp.arange(6, dtype=jnp.int32)
-        rk = jnp.arange(k, dtype=jnp.int32)
-        obs_rows = jnp.concatenate([
-            obs.img_idx[:, None] * 6 + r6[None],
-            obs.src_idx[:, None] * 6 + r6[None],
-            6 * I + obs.cam_idx[:, None] * k + rk[None]], axis=1)  # [O, NR]
+        _row_parts.append(obs.src_idx[:, None] * 6 + r6[None])
+    _row_parts.append(6 * I + obs.cam_idx[:, None] * k + rk[None])
+    obs_rows = jnp.concatenate(_row_parts, axis=1)                # [O, NR]
 
     def mask_system(sysd):
         """Zero out frozen parameter rows/cols in the block system."""
@@ -501,51 +504,36 @@ def ba_solve(residual_fn: Callable,
 
         g_cam_full = jnp.concatenate([gp.reshape(-1), gc.reshape(-1)])
 
-        # Schur reduction over track pairs:
+        # Schur reduction over track pairs, chunked so only [pair_chunk,
+        # NR, NR] pair blocks materialize per lax.scan step:
         # S -= B[o1] @ Vinv[pt] @ B[o2]^T placed at (rows(o1), rows(o2))
-        pt1 = obs.pt_idx[obs.pair_o1]
-        T1 = jnp.einsum("qab,qbc->qac", B[obs.pair_o1], Vinv[pt1])
-        Cpair = jnp.einsum("qac,qdc->qad", T1, B[obs.pair_o2])  # [Q,NR,NR]
+        Q = int(obs.pair_o1.shape[0])
+        pc = min(opts.pair_chunk, max(Q, 1))
+        padQ = int(np.ceil(Q / pc)) * pc
+        # pad by repeating pair 0; padded entries are masked to zero
+        p1p = jnp.concatenate(
+            [obs.pair_o1, jnp.broadcast_to(obs.pair_o1[:1], (padQ - Q,))])
+        p2p = jnp.concatenate(
+            [obs.pair_o2, jnp.broadcast_to(obs.pair_o2[:1], (padQ - Q,))])
+        qm = (jnp.arange(padQ) < Q).astype(jnp.float32)
 
-        if has_src:
-            r1 = obs_rows[obs.pair_o1]                          # [Q, NR]
-            r2 = obs_rows[obs.pair_o2]
-            S = A - jnp.zeros((M, M), jnp.float32).at[
-                r1[:, :, None], r2[:, None, :]].add(Cpair)
-        else:
-            i1 = obs.img_idx[obs.pair_o1]
-            i2 = obs.img_idx[obs.pair_o2]
-            c1 = obs.cam_idx[obs.pair_o1]
-            c2 = obs.cam_idx[obs.pair_o2]
-            Spp = jnp.zeros((I, I, 6, 6), jnp.float32).at[i1, i2].add(
-                Cpair[:, :6, :6])
-            Spc = jnp.zeros((I, Nc, 6, k), jnp.float32).at[i1, c2].add(
-                Cpair[:, :6, 6:])
-            Scp = jnp.zeros((Nc, I, k, 6), jnp.float32).at[c1, i2].add(
-                Cpair[:, 6:, :6])
-            Scc = jnp.zeros((Nc, Nc, k, k), jnp.float32).at[c1, c2].add(
-                Cpair[:, 6:, 6:])
-            top = jnp.concatenate([
-                Spp.transpose(0, 2, 1, 3).reshape(6 * I, 6 * I),
-                Spc.transpose(0, 2, 1, 3).reshape(6 * I, k * Nc)], axis=1)
-            bot = jnp.concatenate([
-                Scp.transpose(0, 2, 1, 3).reshape(k * Nc, 6 * I),
-                Scc.transpose(0, 2, 1, 3).reshape(k * Nc, k * Nc)], axis=1)
-            S = A - jnp.concatenate([top, bot], axis=0)
+        def pair_body(Ssub, inp):
+            p1c, p2c, mc = inp
+            T1 = jnp.einsum("qab,qbc->qac", B[p1c], Vinv[obs.pt_idx[p1c]])
+            Cp = jnp.einsum("qac,qdc->qad", T1, B[p2c]) * mc[:, None, None]
+            return Ssub.at[obs_rows[p1c][:, :, None],
+                           obs_rows[p2c][:, None, :]].add(Cp), None
+
+        Ssub, _ = jax.lax.scan(
+            pair_body, jnp.zeros((M, M), jnp.float32),
+            (p1p.reshape(-1, pc), p2p.reshape(-1, pc), qm.reshape(-1, pc)))
+        S = A - Ssub
 
         # rhs: g_cam - sum_obs B_o Vinv_p g_p
         corr = jnp.einsum("oab,ob->oa",
                           jnp.einsum("oab,obc->oac", B,
                                      Vinv[obs.pt_idx]), gx[obs.pt_idx])
-        rhs = jnp.zeros((M,), jnp.float32)
-        if has_src:
-            rhs = rhs.at[obs_rows].add(corr)
-        else:
-            rhs = rhs.at[(obs.img_idx * 6)[:, None]
-                         + jnp.arange(6)[None]].add(corr[:, :6])
-            rhs = rhs.at[(6 * I + obs.cam_idx * k)[:, None]
-                         + jnp.arange(k)[None]].add(corr[:, 6:])
-        rhs = g_cam_full - rhs
+        rhs = g_cam_full - jnp.zeros((M,), jnp.float32).at[obs_rows].add(corr)
 
         # Jacobi-scaled solve: BA camera systems are badly conditioned at pixel
         # scale; symmetric diagonal scaling keeps the f32 Cholesky accurate.
@@ -557,11 +545,7 @@ def ba_solve(residual_fn: Callable,
         d_cam = dc_full[6 * I:].reshape(Nc, k)
 
         # back-substitute points: dx = -Vinv (gx + sum_obs B^T dcam_of_obs)
-        if has_src:
-            dcam_obs = dc_full[obs_rows]                         # [O, NR]
-        else:
-            dcam_obs = jnp.concatenate([d_pose[obs.img_idx],
-                                        d_cam[obs.cam_idx]], axis=1)
+        dcam_obs = dc_full[obs_rows]                             # [O, NR]
         t = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(
             jnp.einsum("oab,oa->ob", B, dcam_obs))
         d_xyz = -jnp.einsum("pab,pb->pa", Vinv, gx + t)

@@ -64,3 +64,20 @@ def to_ctr(conf, resolve: bool = True):
     if hasattr(conf, "to_dict"):
         return conf.to_dict(resolve=resolve)
     return dict(conf)
+
+
+def progress_iter(iterable, desc: str = "", total=None, min_items: int = 20):
+    """tqdm progress over long host loops (extraction, packing); passthrough
+    for short ones so logs stay quiet (reference uses its own LogProgressbar,
+    util/src/log_exceptions.h / progressbar in the python pipelines)."""
+    try:
+        n = total if total is not None else len(iterable)
+    except TypeError:
+        n = None
+    if n is not None and n < min_items:
+        return iterable
+    try:
+        from tqdm import tqdm
+        return tqdm(iterable, desc=desc, total=n, leave=False)
+    except ImportError:
+        return iterable
