@@ -189,10 +189,26 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
     r = uv[..., 1]
     c = uv[..., 0]
 
-    def one(patch, rr, cc):
-        return interpolate_with_grad(patch, rr, cc, interp)
+    if interp.mode in ("BICUBIC", "CERES_BICUBIC") and not interp.ncc_normalize:
+        # hot path: 4x4-window gather (16x less HBM than the dense one-hot
+        # contraction at ps=16)
+        from ..base.interpolation import (bicubic_window_eval,
+                                          l2_normalize_with_grad)
+        P, K = r.shape
+        f, dfdr, dfdc = bicubic_window_eval(
+            patches.reshape((P * K,) + patches.shape[2:]),
+            r.reshape(-1), c.reshape(-1))
+        if interp.l2_normalize:
+            f, (dfdr, dfdc) = l2_normalize_with_grad(f, (dfdr, dfdc))
+        C = f.shape[-1]
+        f = f.reshape(P, K, C)
+        dfdr = dfdr.reshape(P, K, C)
+        dfdc = dfdc.reshape(P, K, C)
+    else:
+        def one(patch, rr, cc):
+            return interpolate_with_grad(patch, rr, cc, interp)
 
-    f, dfdr, dfdc = jax.vmap(jax.vmap(one))(patches, r, c)
+        f, dfdr, dfdc = jax.vmap(jax.vmap(one))(patches, r, c)
     su = scale * ups[..., None]
     dfdx = dfdc * su[..., 0:1]
     dfdy = dfdr * su[..., 1:2]
@@ -200,20 +216,34 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
 
 
 def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
-                   K: int, use_pallas: bool = False):
+                   K: int, use_pallas: bool = False, pregathered: bool = False):
     """Return (system_fn, cost_fn) factories closing over static config.
 
     The returned functions take the padded problem arrays explicitly so a single
     jitted instance serves every chunk of equal shape. ``use_pallas`` routes the
     interpolation through the fused gather-interpolate kernel (no [P,K,ps,ps,C]
-    gather materialization in HBM).
+    gather materialization in HBM). ``pregathered`` means ``all_patches`` is
+    already the per-problem [P,K,ps,ps,C] tensor — the HBM gather was hoisted
+    out of the LM while_loop (it is loop-invariant: the same patches serve
+    every iteration's system/cost evaluation).
     """
+
+    def _onehot_edges(edge_i, edge_j):
+        """One-hot edge incidence [P, E, K] — TPU gathers are slow; every
+        edge-indexed read below is a batched matmul on the MXU instead."""
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+        Si = (edge_i[..., None] == iota).astype(jnp.float32)
+        Sj = (edge_j[..., None] == iota).astype(jnp.float32)
+        return Si, Sj
 
     def _common(x, data):
         (patch_row, corner, scale, ups, edge_i, edge_j, edge_w) = data
         P = x.shape[0]
         kp = x.reshape(P, K, 2)
-        if use_pallas:
+        if pregathered:
+            f, dfdx, dfdy = _eval_keypoints(all_patches, kp, corner, scale,
+                                            ups, interp)
+        elif use_pallas:
             from ..ops.interpolate_pallas import interpolate_batch
             uv = (kp * scale - 0.5 - corner) * ups[..., None]
             fB, drB, dcB = interpolate_batch(
@@ -229,11 +259,10 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
             patches = all_patches[patch_row]      # [P, K, ps, ps, C] gather
             f, dfdx, dfdy = _eval_keypoints(patches, kp, corner, scale, ups,
                                             interp)
-        fi = jnp.take_along_axis(f, edge_i[..., None], axis=1)
-        fj = jnp.take_along_axis(f, edge_j[..., None], axis=1)
-        r = fi - fj                                # [P, E, C]
-        s = jnp.sum(r * r, axis=-1)                # [P, E]
-        return kp, f, dfdx, dfdy, r, s
+        Si, Sj = _onehot_edges(edge_i, edge_j)
+        r = jnp.einsum("pek,pkc->pec", Si - Sj, f)  # f_i - f_j, [P, E, C]
+        s = jnp.sum(r * r, axis=-1)                 # [P, E]
+        return kp, f, dfdx, dfdy, Si, Sj, r, s
 
     def cost_fn(x, data):
         (_, _, _, _, _, _, edge_w) = data
@@ -242,20 +271,17 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
 
     def system_fn(x, data):
         (patch_row, corner, scale, ups, edge_i, edge_j, edge_w) = data
-        kp, f, dfdx, dfdy, r, s = _common(x, data)
+        kp, f, dfdx, dfdy, Si, Sj, r, s = _common(x, data)
         P, E = edge_i.shape
         C = f.shape[-1]
 
         cost = 0.5 * jnp.sum(edge_w * loss(s), axis=1)
         w = edge_w * loss.weight(s)                # [P, E]
 
-        # per-edge jacobians [P, E, C, 2]
-        Ji = jnp.stack([
-            jnp.take_along_axis(dfdx, edge_i[..., None], axis=1),
-            jnp.take_along_axis(dfdy, edge_i[..., None], axis=1)], axis=-1)
-        Jj = jnp.stack([
-            jnp.take_along_axis(dfdx, edge_j[..., None], axis=1),
-            jnp.take_along_axis(dfdy, edge_j[..., None], axis=1)], axis=-1)
+        # per-edge jacobians [P, E, C, 2] via incidence matmuls (MXU)
+        df = jnp.stack([dfdx, dfdy], axis=-1)      # [P, K, C, 2]
+        Ji = jnp.einsum("pek,pkca->peca", Si, df)
+        Jj = jnp.einsum("pek,pkca->peca", Sj, df)
 
         # 2x2 blocks
         Aii = jnp.einsum("peca,pecb->peab", Ji, Ji)
@@ -263,11 +289,6 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
         Aij = -jnp.einsum("peca,pecb->peab", Ji, Jj)
         gi_blk = jnp.einsum("peca,pec->pea", Ji, r)
         gj_blk = -jnp.einsum("peca,pec->pea", Jj, r)
-
-        # one-hot incidence [P, E, K] — scatter as MXU einsums
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
-        Si = (edge_i[..., None] == iota).astype(jnp.float32)
-        Sj = (edge_j[..., None] == iota).astype(jnp.float32)
 
         def blocks(Sa, Sb, A):
             return jnp.einsum("pek,peab,pel->pkalb", Sa, w[..., None, None] * A,
@@ -336,7 +357,7 @@ def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
 
 
 def make_target_system(all_patches, interp: InterpolationConfig,
-                       loss: RobustLoss):
+                       loss: RobustLoss, pregathered: bool = False):
     """Fixed-target system: per problem one 2-DoF keypoint against constant
     reference descriptors (covers topological_reference KA — the root is constant
     so its descriptor is a fixed target — and QKA's FeatureReference2DCostFunctor,
@@ -354,7 +375,7 @@ def make_target_system(all_patches, interp: InterpolationConfig,
         def one(patch, rr, cc):
             return interpolate_with_grad(patch, rr, cc, interp)
 
-        patches = all_patches[patch_row]
+        patches = all_patches if pregathered else all_patches[patch_row]
         f, dfdr, dfdc = jax.vmap(one)(patches, uv[..., 1], uv[..., 0])
         su = scale * ups[..., None]
         dfdx = dfdc * su[..., 0:1]
@@ -391,7 +412,10 @@ def _compiled_target_chunk(interp_key, loss_key, lm_opts: LMOptions):
 
     @jax.jit
     def run_chunk(all_patches, x0, data, lower, upper, pmask, fmask):
-        system_fn, cost_fn = make_target_system(all_patches, interp, loss)
+        # hoist the loop-invariant patch gather out of the LM while_loop
+        patches_p = all_patches[data[0]]
+        system_fn, cost_fn = make_target_system(patches_p, interp, loss,
+                                                pregathered=True)
         sysf = lambda x: system_fn(x, data)
         costf = lambda x: cost_fn(x, data)
         return lm_solve(sysf, costf, x0, param_mask=fmask,
@@ -476,8 +500,15 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
 
     @jax.jit
     def run_chunk(all_patches, x0, data, kp_free, lower, upper, pmask):
-        system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K,
-                                            use_pallas=use_pallas)
+        if use_pallas:
+            system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K,
+                                                use_pallas=True)
+        else:
+            # hoist the [P,K,ps,ps,C] patch gather out of the LM while_loop:
+            # it is loop-invariant and otherwise re-reads HBM twice/iteration
+            patches_pk = all_patches[data[0]]
+            system_fn, cost_fn = make_ka_system(patches_pk, interp, loss, K,
+                                                pregathered=True)
         sysf = lambda x: system_fn(x, data)
         costf = lambda x: cost_fn(x, data)
         mask = jnp.repeat(kp_free, 2, axis=1)

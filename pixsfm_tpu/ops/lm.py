@@ -65,6 +65,8 @@ class LMOptions:
 
 class LMState(NamedTuple):
     x: jnp.ndarray          # [P, N]
+    H: jnp.ndarray          # [P, N, N] normal equations at x (carried so each
+    g: jnp.ndarray          # [P, N]    iteration runs ONE system eval)
     lam: jnp.ndarray        # [P]
     nu: jnp.ndarray         # [P] lambda growth factor
     cost: jnp.ndarray       # [P]
@@ -99,7 +101,13 @@ def _masked_solve(H, g, lam, param_mask, opts: LMOptions):
     eye = jnp.eye(N, dtype=H.dtype)
     Hd = Hd + (1.0 - mm) * eye[None]
     g = g * m
-    dx = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
+    # damped GN Hessians are SPD: batched Cholesky is ~2x faster than LU on
+    # TPU (jnp.linalg.solve lowers to LU with pivoting)
+    L = jax.lax.linalg.cholesky(Hd)
+    y = jax.lax.linalg.triangular_solve(L, -g[..., None], left_side=True,
+                                        lower=True)
+    dx = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                         transpose_a=True)[..., 0]
     return dx * m, D
 
 
@@ -141,6 +149,8 @@ def lm_solve(system_fn: Callable,
     W = max(int(opts.nonmonotonic_window), 1)
     init = LMState(
         x=x0,
+        H=H0,
+        g=g0,
         lam=jnp.full((P,), opts.initial_lambda, f32),
         nu=jnp.full((P,), 2.0, f32),
         cost=cost0,
@@ -156,12 +166,16 @@ def lm_solve(system_fn: Callable,
         return (state.it < opts.max_iterations) & jnp.any(~state.done)
 
     def body(state: LMState):
-        cost, H, g = system_fn(state.x)
+        # ONE system eval per iteration: H/g at the current iterate are
+        # carried; the candidate is evaluated with full normal equations and
+        # they become the next carry on acceptance (on rejection x is
+        # unchanged, so the carried H/g stay exact).
+        cost, H, g = state.cost, state.H, state.g
         dx, D = _masked_solve(H, g, state.lam, param_mask, opts)
         x_new = jnp.clip(state.x + dx, lower, upper)
         dx_eff = x_new - state.x
 
-        new_cost = cost_fn(x_new)
+        new_cost, H_new, g_new = system_fn(x_new)
         # Madsen-Nielsen gain ratio: predicted reduction of the damped model
         pred = 0.5 * jnp.sum(dx_eff * (state.lam[:, None] * D * dx_eff - g),
                              axis=1)
@@ -183,6 +197,8 @@ def lm_solve(system_fn: Callable,
         nu = jnp.where(accept, 2.0, state.nu * 2.0)
 
         x = jnp.where(accept[:, None], x_new, state.x)
+        H_out = jnp.where(accept[:, None, None], H_new, H)
+        g_out = jnp.where(accept[:, None], g_new, g)
         cost_out = jnp.where(accept, new_cost, cost)
 
         # rolling window of accepted costs + best-iterate tracking
@@ -211,8 +227,8 @@ def lm_solve(system_fn: Callable,
         done = state.done | conv_x | conv_f | conv_g | stuck
 
         iterations = state.iterations + (~state.done).astype(jnp.int32)
-        return LMState(x, lam, nu, cost_out, done, state.it + 1, iterations,
-                       window, best_x, best_cost)
+        return LMState(x, H_out, g_out, lam, nu, cost_out, done, state.it + 1,
+                       iterations, window, best_x, best_cost)
 
     final = jax.lax.while_loop(cond, body, init)
     # with non-monotonic acceptance the final iterate may be worse than the

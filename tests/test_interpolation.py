@@ -228,3 +228,46 @@ class TestGradientFieldModes:
         np.testing.assert_allclose(float(gr[0]), 4.25 + 0.2 * 5.5, atol=1e-3)
         np.testing.assert_allclose(float(gc[0]), 0.2 * 4.25 + 0.6 * 5.5,
                                    atol=1e-3)
+
+
+class TestBicubicWindowEval:
+    def test_matches_dense_contraction(self):
+        """Window-gather bicubic == dense one-hot contraction, incl. clamped
+        borders and l2-normalize chain rule."""
+        import jax
+        import jax.numpy as jnp
+        from pixsfm_tpu.base.interpolation import (InterpolationConfig,
+                                                   bicubic_window_eval,
+                                                   interpolate_with_grad,
+                                                   l2_normalize_with_grad)
+
+        rng = np.random.default_rng(5)
+        N, ps, C = 40, 16, 8
+        patches = jnp.asarray(rng.normal(0, 1, (N, ps, ps, C)),
+                              jnp.float32)
+        # queries: interior + near/beyond all borders (clamping active)
+        r = jnp.asarray(np.concatenate([
+            rng.uniform(1.5, ps - 2.5, N - 16),
+            [-0.7, -0.2, 0.1, 0.6, ps - 1.4, ps - 1.1, ps - 0.4, ps + 0.3,
+             0.0, 0.5, 1.0, ps - 2.0, ps - 1.0, -1.0, ps * 1.0, 7.5]]),
+            jnp.float32)
+        c = jnp.asarray(np.concatenate([
+            rng.uniform(1.5, ps - 2.5, N - 16),
+            [ps - 0.3, 0.2, -0.5, ps + 0.1, 0.4, ps - 1.2, -0.1, 7.7,
+             ps - 1.0, -1.0, ps * 1.0, 0.0, 0.5, 3.3, 4.4, 5.5]]),
+            jnp.float32)
+
+        for l2 in (False, True):
+            cfg = InterpolationConfig(mode="BICUBIC", l2_normalize=l2)
+            f0, dr0, dc0 = jax.vmap(
+                lambda p, rr, cc: interpolate_with_grad(p, rr, cc, cfg))(
+                    patches, r, c)
+            f1, dr1, dc1 = bicubic_window_eval(patches, r, c)
+            if l2:
+                f1, (dr1, dc1) = l2_normalize_with_grad(f1, (dr1, dc1))
+            np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(dr1), np.asarray(dr0),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(dc1), np.asarray(dc0),
+                                       atol=2e-5)
