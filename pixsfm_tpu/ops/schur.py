@@ -114,6 +114,8 @@ class BAObservations(NamedTuple):
 
 class _LMState(NamedTuple):
     state: BAState
+    sysd: Dict                 # carried normal equations at `state` ({} when
+    #                            inner iterations force per-iteration re-eval)
     lam: jnp.ndarray
     nu: jnp.ndarray
     cost: jnp.ndarray
@@ -144,6 +146,31 @@ def make_pair_list(pt_idx: np.ndarray, n_points: int
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     return (np.concatenate(o1).astype(np.int32),
             np.concatenate(o2).astype(np.int32))
+
+
+def _inv3x3(A):
+    """Batched closed-form 3x3 inverse (adjugate/determinant) — much faster
+    on TPU than the batched LU that jnp.linalg.inv lowers to."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30,
+                              jnp.where(det < 0, -1e-30, 1e-30), det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1)], axis=-2)
+    return adj * inv_det[..., None, None]
 
 
 def _apply_tangent(state: BAState, d_pose, d_cam, d_xyz) -> BAState:
@@ -362,7 +389,7 @@ def ba_solve(residual_fn: Callable,
             return Hb + eye * (lam * D + fill)[..., None, :]
 
         Vd = damp(V, pt_mask)
-        Vinv = jnp.linalg.inv(Vd)
+        Vinv = _inv3x3(Vd)
 
         if opts.linear_solver == "cg":
             # --- matrix-free ITERATIVE_SCHUR: PCG on S without materializing
@@ -539,7 +566,13 @@ def ba_solve(residual_fn: Callable,
         # scale; symmetric diagonal scaling keeps the f32 Cholesky accurate.
         ds = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diag(S)), 1e-12, None))
         Ss = S * ds[:, None] * ds[None, :]
-        dc_full = -ds * jnp.linalg.solve(Ss, ds * rhs)
+        L = jax.lax.linalg.cholesky(Ss)
+        y = jax.lax.linalg.triangular_solve(L, (ds * rhs)[:, None],
+                                            left_side=True, lower=True)
+        sol = jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                              lower=True,
+                                              transpose_a=True)[:, 0]
+        dc_full = -ds * sol
         dc_full = dc_full * free_rows
         d_pose = dc_full[:6 * I].reshape(I, 6)
         d_cam = dc_full[6 * I:].reshape(Nc, k)
@@ -570,7 +603,7 @@ def ba_solve(residual_fn: Callable,
                          opts.min_diagonal, opts.max_diagonal)
             fill = 1.0 - pt_mask.astype(jnp.float32)
             Vd = sysd["V"] + jnp.eye(3) * (lam * D + fill)[:, None, :]
-            dx = -jnp.linalg.solve(Vd, sysd["gx"][..., None])[..., 0]
+            dx = -jnp.einsum("pab,pb->pa", _inv3x3(Vd), sysd["gx"])
             dx = dx * pt_mask
             cand = BAState(st.qvec, st.tvec, st.cams, st.xyz + dx)
             cand_cost = cost_at(cand)
@@ -583,16 +616,34 @@ def ba_solve(residual_fn: Callable,
         return st, c
 
     # ------------------------------------------------------------------ loop
-    cost0 = cost_at(state0)
+    # Without inner iterations the normal equations are carried across
+    # iterations (ONE jacobian eval per iteration: the candidate is evaluated
+    # with full normal equations which become the next carry on acceptance).
+    # Inner point iterations mutate xyz after acceptance, so there the system
+    # is re-evaluated at the top of each iteration instead.
+    carry_sys = not opts.use_inner_iterations
+    if carry_sys:
+        sys0 = mask_system(eval_chunked(state0, with_jac=True))
+        cost0 = sys0["cost"]
+    else:
+        sys0 = {}
+        cost0 = cost_at(state0)
 
     def cond(ls: _LMState):
         return (ls.it < opts.max_iterations) & ~ls.done
 
     def body(ls: _LMState):
-        sysd = mask_system(eval_chunked(ls.state, with_jac=True))
+        if carry_sys:
+            sysd = ls.sysd
+        else:
+            sysd = mask_system(eval_chunked(ls.state, with_jac=True))
         d_pose, d_cam, d_xyz, pred = schur_step(sysd, ls.lam)
         cand = _apply_tangent(ls.state, d_pose, d_cam, d_xyz)
-        new_cost = cost_at(cand)
+        if carry_sys:
+            sys_new = mask_system(eval_chunked(cand, with_jac=True))
+            new_cost = sys_new["cost"]
+        else:
+            new_cost = cost_at(cand)
         actual = ls.cost - new_cost
         rho = actual / jnp.maximum(pred, 1e-30)
         if opts.use_nonmonotonic_steps:
@@ -613,8 +664,11 @@ def ba_solve(residual_fn: Callable,
                 accept, lambda s: inner_point_iterations(s, lam),
                 lambda s: (s, ls.cost), state)
             cost_after = jnp.where(accept, inner_cost, ls.cost)
+            sysd_out = ls.sysd
         else:
             cost_after = jnp.where(accept, new_cost, ls.cost)
+            sysd_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, b, a), sysd, sys_new)
 
         step = jnp.concatenate([d_pose.reshape(-1), d_cam.reshape(-1),
                                 d_xyz.reshape(-1)])
@@ -637,11 +691,11 @@ def ba_solve(residual_fn: Callable,
         best_state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(improve, b, a), ls.best_state, state)
         best_cost = jnp.where(improve, cost_after, ls.best_cost)
-        return _LMState(state, lam, nu, cost_after, done, ls.it + 1,
+        return _LMState(state, sysd_out, lam, nu, cost_after, done, ls.it + 1,
                         ls.iters_used + 1, window, best_state, best_cost)
 
     W = max(int(opts.nonmonotonic_window), 1)
-    init = _LMState(state0, jnp.asarray(opts.initial_lambda, jnp.float32),
+    init = _LMState(state0, sys0, jnp.asarray(opts.initial_lambda, jnp.float32),
                     jnp.asarray(2.0, jnp.float32), cost0,
                     jnp.asarray(False), jnp.asarray(0, jnp.int32),
                     jnp.asarray(0, jnp.int32),
