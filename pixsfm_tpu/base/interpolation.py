@@ -149,13 +149,35 @@ def _contract(patch, wr, wc):
 # ---------------------------------------------------------------------------
 
 def _bicubic_full(patch, r, c):
-    """f, dfdr, dfdc, dfdrc via separable Catmull-Rom (analytic derivatives)."""
-    H, W, _ = patch.shape
-    wr, wc, dwr, dwc = _weights_for_mode("BICUBIC", r, c, H, W, True)
-    f = _contract(patch, wr, wc)
-    dfdr = _contract(patch, dwr, wc)
-    dfdc = _contract(patch, wr, dwc)
-    dfdrc = _contract(patch, dwr, dwc)
+    """f, dfdr, dfdc, dfdrc via separable Catmull-Rom (analytic derivatives).
+
+    Reads only the clamped 4x4 tap window (one 16-row gather) instead of
+    contracting dense one-hot weights against the whole patch — 16x less
+    memory traffic at ps=16, identical values/clamping (duplicated border
+    taps sum the same pixel). Differentiable in (r, c) through the weights
+    (tap indices are piecewise constant), so jacfwd/grad through
+    :func:`interpolate` keep working."""
+    H, W, C = patch.shape
+    base_r = jnp.floor(r).astype(jnp.int32)
+    base_c = jnp.floor(c).astype(jnp.int32)
+    wr, dwr = catmull_rom_weights(r - jnp.floor(r))          # [4]
+    wc, dwc = catmull_rom_weights(c - jnp.floor(c))
+    taps = jnp.arange(-1, 3, dtype=jnp.int32)
+    ri = jnp.clip(base_r + taps, 0, H - 1)
+    ci = jnp.clip(base_c + taps, 0, W - 1)
+    idx = (ri[:, None] * W + ci[None, :]).reshape(16)
+    win = patch.reshape(H * W, C)[idx].reshape(4, 4, C).astype(jnp.float32)
+    wr = wr.astype(jnp.float32)
+    wc = wc.astype(jnp.float32)
+    f = jnp.einsum("a,abc,b->c", wr, win, wc,
+                   preferred_element_type=jnp.float32)
+    dfdr = jnp.einsum("a,abc,b->c", dwr.astype(jnp.float32), win, wc,
+                      preferred_element_type=jnp.float32)
+    dfdc = jnp.einsum("a,abc,b->c", wr, win, dwc.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    dfdrc = jnp.einsum("a,abc,b->c", dwr.astype(jnp.float32), win,
+                       dwc.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
     return f, dfdr, dfdc, dfdrc
 
 
