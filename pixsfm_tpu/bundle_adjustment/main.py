@@ -282,7 +282,22 @@ class BundleAdjuster:
         logger.info("BA Time: %.3fs, cost change: %.6g --> %.6g (%d iters)",
                     out["time"], out["initial_cost"], out["final_cost"],
                     int(out["iterations"]))
+        self._maybe_print_summary(out, packed)
         return out
+
+    def _maybe_print_summary(self, out, packed):
+        if not self.conf.optimizer.get("print_summary"):
+            return
+        logger.info(
+            "BA summary:\n  images: %d (cameras: %d)\n  points: %d\n"
+            "  observations: %d\n  initial cost: %.6g\n  final cost: %.6g\n"
+            "  cost change: %.3f%%\n  iterations: %d\n  wall time: %.3fs",
+            len(packed.image_ids), len(packed.camera_ids),
+            len(packed.point_ids), len(packed.obs_img),
+            out["initial_cost"], out["final_cost"],
+            100.0 * (out["initial_cost"] - out["final_cost"])
+            / max(out["initial_cost"], 1e-12),
+            int(out["iterations"]), out["time"])
 
     def _run_ba(self, reconstruction: Reconstruction, packed: PackedBA,
                 residual_fn, obs_data, loss, opts: BAOptions,
@@ -317,6 +332,7 @@ class BundleAdjuster:
         logger.info("BA Time: %.3fs, cost change: %.6g --> %.6g (%d iters)",
                     out["time"], out["initial_cost"], out["final_cost"],
                     int(out["iterations"]))
+        self._maybe_print_summary(out, packed)
         return out
 
     def refine(self, reconstruction: Reconstruction, *args, **kwargs) -> Dict:

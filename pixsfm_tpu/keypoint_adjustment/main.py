@@ -235,6 +235,17 @@ class KeypointAdjuster:
         logger.info(
             "KA Time: %.3fs, cost change: %.4f --> %.4f (%d problems)",
             dt, cost0, cost1, summary["num_problems"])
+        if opt.get("print_summary"):
+            # merged-solver report (reference: merged Ceres summaries,
+            # util/src/statistics.h + print_summary option)
+            logger.info(
+                "KA summary:\n  problems: %d\n  keypoints: %d\n"
+                "  initial cost: %.6g\n  final cost: %.6g\n"
+                "  cost change: %.3f%%\n  max iterations used: %d\n"
+                "  wall time: %.3fs",
+                summary["num_problems"], len(problems.node_ids), cost0, cost1,
+                100.0 * (cost0 - cost1) / max(cost0, 1e-12),
+                summary.get("iterations", 0), dt)
         return summary
 
 
