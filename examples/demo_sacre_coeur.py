@@ -120,6 +120,10 @@ def main():
     loc = QueryLocalizer(
         rec, conf={"interpolation": {"mode": "BICUBIC",
                                      "l2_normalize": False},
+                   # per-keypoint adjustment needs discriminative (deep)
+                   # descriptors; with the 1-channel identity model only the
+                   # pose-level QBA refinement is well conditioned
+                   "QKA": {"apply": False},
                    "dense_features": conf["dense_features"]
                    if isinstance(conf, dict) else conf.dense_features},
         image_dir=image_dir)

@@ -141,8 +141,10 @@ def extract_costmaps(reconstruction: Reconstruction, feature_set: FeatureSet,
         p3D = reconstruction.points3D[pid]
         for iid, p2D_idx in p3D.track:
             im = reconstruction.images[iid]
-            obs.append((pf.row(im.name, int(p2D_idx)), pid, im.name,
-                        int(p2D_idx)))
+            row = pf.row_or(im.name, int(p2D_idx))
+            if row < 0:   # observation was never extracted
+                continue
+            obs.append((row, pid, im.name, int(p2D_idx)))
     if not obs:
         return FeatureSet(3, feature_set.patch_size, "float32"), refs
 
@@ -202,9 +204,14 @@ def costmap_ba(adjuster, reconstruction: Reconstruction,
     pf = view.packed
     O = len(packed.obs_img)
     rows = np.zeros(O, np.int32)
+    obs_valid = np.ones(O, bool)
     for i in range(O):
         name = reconstruction.images[int(packed.obs_image_id[i])].name
-        rows[i] = pf.row(name, int(packed.obs_p2D_idx[i]))
+        row = pf.row_or(name, int(packed.obs_p2D_idx[i]))
+        if row < 0:   # no costmap (observation skipped at extraction)
+            obs_valid[i] = False
+        else:
+            rows[i] = row
 
     from ..util.jit_cache import interp_static_key
 
@@ -215,7 +222,7 @@ def costmap_ba(adjuster, reconstruction: Reconstruction,
     return adjuster._run_ba_cached(
         reconstruction, packed,
         ("costmap", model, interp_static_key(interp_cm)),
-        rows, ctx, loss, opts)
+        rows, ctx, loss, opts, obs_valid=obs_valid)
 
 
 def _required_from_packed(reconstruction, packed) -> Dict[str, list]:

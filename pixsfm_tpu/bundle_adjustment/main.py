@@ -202,7 +202,7 @@ class BundleAdjuster:
 
     def _run_ba_cached(self, reconstruction: Reconstruction,
                        packed: PackedBA, residual_key, obs_data, ctx,
-                       loss, opts: BAOptions) -> Dict:
+                       loss, opts: BAOptions, obs_valid=None) -> Dict:
         """Run BA through the cached compiled program with bucket padding."""
         from ..util.jit_cache import bucket
 
@@ -238,7 +238,7 @@ class BundleAdjuster:
         pair_o2 = pad_to(pair_o2, Q_pad, O)
 
         valid = np.zeros(O_pad, bool)
-        valid[:O] = True
+        valid[:O] = True if obs_valid is None else np.asarray(obs_valid, bool)
         obs = BAObservations(
             img_idx=jnp.asarray(pad_to(packed.obs_img, O_pad)),
             cam_idx=jnp.asarray(pad_to(packed.obs_cam, O_pad)),
@@ -416,15 +416,29 @@ class FeatureReferenceBundleAdjuster(BundleAdjuster):
                 reconstruction, feature_set, view, self.conf.references,
                 interp, point3D_ids=packed.point_ids)
 
-        # per-observation patch + target descriptor arrays
+        # per-observation patch + target descriptor arrays; observations
+        # without an extracted patch or a reference get weight 0
         O = len(packed.obs_img)
         rows = np.zeros(O, np.int32)
+        obs_valid = np.ones(O, bool)
+        pids_of_obs = np.asarray(packed.point_ids)[packed.obs_pt] if O \
+            else np.zeros(0, np.int64)
+        C_ref = len(next(iter(references.values())).descriptor) \
+            if references else 1
+        targets = np.zeros((O, C_ref), np.float32)
         for i in range(O):
             name = reconstruction.images[int(packed.obs_image_id[i])].name
-            rows[i] = pf.row(name, int(packed.obs_p2D_idx[i]))
-        targets = np.stack([references[pid].descriptor
-                            for pid in np.asarray(packed.point_ids)[
-                                packed.obs_pt]]) if O else np.zeros((0, 1))
+            row = pf.row_or(name, int(packed.obs_p2D_idx[i]))
+            ref = references.get(int(pids_of_obs[i]))
+            if row < 0 or ref is None:
+                obs_valid[i] = False
+                continue
+            rows[i] = row
+            targets[i] = ref.descriptor
+        if not obs_valid.all():
+            logger.warning("feature_reference BA: %d/%d observations have no "
+                           "patch/reference; excluded.",
+                           int((~obs_valid).sum()), O)
 
         from ..util.jit_cache import interp_static_key
 
@@ -432,11 +446,11 @@ class FeatureReferenceBundleAdjuster(BundleAdjuster):
                jnp.asarray(pf.corners.astype(np.float32)),
                jnp.asarray(pf.scales.astype(np.float32)),
                jnp.asarray(pf.upsampling.astype(np.float32)))
-        obs_data = (rows, targets.astype(np.float32))
+        obs_data = (rows, targets)
         return self._run_ba_cached(
             reconstruction, packed,
             ("feature_reference", model, interp_static_key(interp)),
-            obs_data, ctx, loss, opts)
+            obs_data, ctx, loss, opts, obs_valid=obs_valid)
 
 
 class CostMapBundleAdjuster(BundleAdjuster):

@@ -92,7 +92,10 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
         if ref is None:
             continue
         im = reconstruction.images[iid]
-        rows[i] = pf.row(im.name, int(packed.obs_p2D_idx[i]))
+        row = pf.row_or(im.name, int(packed.obs_p2D_idx[i]))
+        if row < 0:   # observation was never extracted
+            continue
+        rows[i] = row
         s_iid, s_p2D = ref.source
         s_im = reconstruction.images[s_iid]
         s_cam = reconstruction.cameras[s_im.camera_id]

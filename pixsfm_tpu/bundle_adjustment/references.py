@@ -149,8 +149,11 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
         for (s, pid, p2D_idx), xyi, z in zip(items, xy, depth):
             if z <= 1e-6:
                 continue
+            row = pf.row_or(im.name, p2D_idx)
+            if row < 0:       # observation was never extracted
+                continue
             obs_pt.append(s)
-            obs_row.append(pf.row(im.name, p2D_idx))
+            obs_row.append(row)
             obs_xy.append(xyi)
             obs_track.append((iid, p2D_idx))
     if not obs_pt:

@@ -250,6 +250,13 @@ class PackedFeatures:
             return self.dense_images[image_name]
         return self.index[(image_name, p2D_idx)]
 
+    def row_or(self, image_name: str, p2D_idx: int, default: int = -1) -> int:
+        """Like :meth:`row` but returns ``default`` for observations that
+        were never extracted (e.g. reprojection behind the camera)."""
+        if image_name in self.dense_images:
+            return self.dense_images[image_name]
+        return self.index.get((image_name, p2D_idx), default)
+
     def rows(self, pairs: Iterable[Tuple[str, int]]) -> np.ndarray:
         return np.asarray([self.row(n, i) for n, i in pairs], dtype=np.int32)
 
@@ -276,6 +283,7 @@ class FeatureView:
         ups = []
         index: Dict[Tuple[str, int], int] = {}
         dense_images: Dict[str, int] = {}
+        n_missing = 0
         for image_name, ids in required.items():
             fmap = fset.get_map(image_name, required_ids=list(ids))
             if fmap.is_dense:
@@ -312,12 +320,23 @@ class FeatureView:
                 key = (image_name, int(p2D_idx))
                 if key in index:
                     continue
+                if int(p2D_idx) not in fmap.patches:
+                    # observation not extracted (e.g. reprojection behind the
+                    # camera / outside the image at extraction time): skip —
+                    # consumers treat missing rows as invalid observations
+                    n_missing += 1
+                    continue
                 patch = fmap.get_patch(int(p2D_idx))
                 index[key] = len(rows)
                 rows.append(patch.data)
                 corners.append(patch.corner)
                 scales.append(patch.scale)
                 ups.append(patch.upsampling_factor)
+        if n_missing:
+            from .. import logger
+            logger.warning(
+                "FeatureView: %d requested observation(s) have no extracted "
+                "patch; treating them as invalid.", n_missing)
         if rows:
             shapes = {r.shape for r in rows}
             if len(shapes) > 1:

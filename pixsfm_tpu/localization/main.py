@@ -730,10 +730,24 @@ class QueryLocalizer:
             return {"success": False}
         assert len(pnp_point2D_idxs) == len(pnp_points3D_id)
         keypoints = np.array(keypoints, np.float64)
-        pnp_points3D = [self.reconstruction.points3D[p].xyz
-                        for p in pnp_points3D_id]
 
         require_feats = self.conf.QKA.apply or self.conf.QBA.apply
+        if require_feats and self.references is not None:
+            # drop correspondences to points without references (tracks whose
+            # observations were never extracted, e.g. behind-camera reproj.)
+            keep = [i for i, pid in enumerate(pnp_points3D_id)
+                    if all(pid in refs for refs in self.references)]
+            if len(keep) < len(pnp_points3D_id):
+                logger.warning(
+                    "localize: dropping %d/%d correspondences without "
+                    "references.", len(pnp_points3D_id) - len(keep),
+                    len(pnp_points3D_id))
+                pnp_point2D_idxs = [pnp_point2D_idxs[i] for i in keep]
+                pnp_points3D_id = [pnp_points3D_id[i] for i in keep]
+                if len(pnp_point2D_idxs) == 0:
+                    return {"success": False}
+        pnp_points3D = [self.reconstruction.points3D[p].xyz
+                        for p in pnp_points3D_id]
         if query_fmaps is None and require_feats:
             if self.extractor is None:
                 from ..features.extractor import FeatureExtractor

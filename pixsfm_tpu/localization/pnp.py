@@ -79,6 +79,86 @@ def _dlt_pose_batch(uv: np.ndarray, X: np.ndarray):
     return R, t, ok
 
 
+def _homography_pose_batch(uv: np.ndarray, X: np.ndarray):
+    """Planar-safe pose hypotheses by homography decomposition.
+
+    The 11-DoF DLT is degenerate for (near-)coplanar 3D points — the common
+    case for building facades. Per sample: fit the best plane to the 3D
+    points, express them in in-plane coordinates w, fit the homography
+    uv ~ H [w, 1] (normalized DLT), and decompose H = [R e1, R e2, R c + t]
+    up to scale (e1/e2 = plane axes, c = centroid).
+
+    uv: [B, N, 2] normalized camera coords, X: [B, N, 3]. Returns (R [B,3,3],
+    t [B,3], ok [B]).
+    """
+    B, N, _ = uv.shape
+    c = X.mean(axis=1, keepdims=True)
+    Xc = X - c
+    # plane axes: top-2 right singular vectors of the centered points
+    _, S3, Vt3 = np.linalg.svd(Xc, full_matrices=False)
+    e1 = Vt3[:, 0]                             # [B, 3]
+    e2 = Vt3[:, 1]
+    n = np.cross(e1, e2)
+    w = np.stack([np.einsum("bnj,bj->bn", Xc, e1),
+                  np.einsum("bnj,bj->bn", Xc, e2)], axis=-1)  # [B, N, 2]
+
+    # normalized homography DLT: uv ~ H [w, 1]
+    def norm_pts(p):
+        m = p.mean(axis=1, keepdims=True)
+        s = np.sqrt(2.0) / np.maximum(
+            np.linalg.norm(p - m, axis=2).mean(axis=1), 1e-12)
+        return (p - m) * s[:, None, None], m[:, 0], s
+
+    wn, wm, ws = norm_pts(w)
+    un, um, us = norm_pts(uv)
+    wh = np.concatenate([wn, np.ones((B, N, 1))], axis=-1)
+    A = np.zeros((B, 2 * N, 9))
+    A[:, 0::2, 0:3] = wh
+    A[:, 0::2, 6:9] = -un[:, :, 0:1] * wh
+    A[:, 1::2, 3:6] = wh
+    A[:, 1::2, 6:9] = -un[:, :, 1:2] * wh
+    _, Sh, Vth = np.linalg.svd(A)
+    Hn = Vth[:, -1, :].reshape(B, 3, 3)
+    # denormalize: uv = Tun^-1 Hn Twn with Tw = [ws*(w - wm)]
+    Tu_inv = np.zeros((B, 3, 3))
+    Tu_inv[:, 0, 0] = 1.0 / us
+    Tu_inv[:, 1, 1] = 1.0 / us
+    Tu_inv[:, 2, 2] = 1.0
+    Tu_inv[:, 0, 2] = um[:, 0]
+    Tu_inv[:, 1, 2] = um[:, 1]
+    Tw = np.zeros((B, 3, 3))
+    Tw[:, 0, 0] = ws
+    Tw[:, 1, 1] = ws
+    Tw[:, 2, 2] = 1.0
+    Tw[:, 0, 2] = -ws * wm[:, 0]
+    Tw[:, 1, 2] = -ws * wm[:, 1]
+    H = np.einsum("bij,bjk,bkl->bil", Tu_inv, Hn, Tw)
+
+    # cheirality: third column maps the centroid -> (R c + t); depth > 0
+    sign = np.where(H[:, 2, 2] < 0, -1.0, 1.0)
+    H = H * sign[:, None, None]
+    # scale so the rotation columns are unit
+    lam = 2.0 / np.maximum(np.linalg.norm(H[:, :, 0], axis=1)
+                           + np.linalg.norm(H[:, :, 1], axis=1), 1e-12)
+    H = H * lam[:, None, None]
+    r1 = H[:, :, 0]
+    r2 = H[:, :, 1]
+    # orthonormalize (closest rotation to [r1 r2 r1xr2])
+    Q = np.stack([r1, r2, np.cross(r1, r2)], axis=-1)
+    Uq, Sq, Vtq = np.linalg.svd(Q)
+    detq = np.linalg.det(np.einsum("bij,bjk->bik", Uq, Vtq))
+    Dq = np.zeros((B, 3, 3))
+    Dq[:, 0, 0] = 1.0
+    Dq[:, 1, 1] = 1.0
+    Dq[:, 2, 2] = detq
+    Qr = np.einsum("bij,bjk,bkl->bil", Uq, Dq, Vtq)   # = R [e1 e2 n]
+    E = np.stack([e1, e2, n], axis=-1)                 # [B, 3, 3] columns
+    R = np.einsum("bij,bkj->bik", Qr, E)               # R = Qr E^T
+    t = H[:, :, 2] - np.einsum("bij,bj->bi", R, c[:, 0])
+    ok = (Sh[:, -2] > 1e-12) & np.isfinite(t).all(axis=1)
+    return R, t, ok
+
+
 def _reproj_errors_Rt(camera: Camera, R, t, X, xy):
     """Reprojection errors for a rotation-matrix pose (numpy, no quat detour)."""
     x_cam = (R @ np.atleast_2d(X).T).T + t
@@ -245,27 +325,47 @@ def absolute_pose_estimation(points2D: np.ndarray, points3D: np.ndarray,
         tried += b
         samples = np.stack([rng.choice(n, 6, replace=False)
                             for _ in range(b)])
+        # two hypothesis families per sample: 11-DoF DLT (general scenes)
+        # and homography decomposition (planar scenes, where DLT is
+        # degenerate — e.g. building facades)
         Rs, ts, ok = _dlt_pose_batch(uv[samples], X[samples])
-        for bi in np.nonzero(ok)[0]:
-            err = _reproj_errors_Rt(camera, Rs[bi], ts[bi], X, xy)
-            inl = err < max_error_px
-            ni = int(inl.sum())
-            if ni > best["num_inliers"]:
-                qvec = np.asarray(rotmat_to_quat(jnp.asarray(Rs[bi])))
-                best = dict(num_inliers=ni, inliers=inl, qvec=qvec,
-                            tvec=ts[bi])
-                ratio = max(ni / n, min_inlier_ratio)
-                denom = np.log(max(1.0 - ratio ** 6, 1e-12))
-                if denom < 0:
-                    max_iter = min(max_iterations,
-                                   int(np.ceil(np.log(1 - confidence)
-                                               / denom)))
+        Rh, th, okh = _homography_pose_batch(uv[samples], X[samples])
+        cand = [(Rs, ts, ok), (Rh, th, okh)]
+        for Rc, tc, okc in cand:
+            for bi in np.nonzero(okc)[0]:
+                err = _reproj_errors_Rt(camera, Rc[bi], tc[bi], X, xy)
+                inl = err < max_error_px
+                ni = int(inl.sum())
+                if ni > best["num_inliers"]:
+                    qvec = np.asarray(rotmat_to_quat(jnp.asarray(Rc[bi])))
+                    best = dict(num_inliers=ni, inliers=inl, qvec=qvec,
+                                tvec=tc[bi])
+                    ratio = max(ni / n, min_inlier_ratio)
+                    denom = np.log(max(1.0 - ratio ** 6, 1e-12))
+                    if denom < 0:
+                        max_iter = min(max_iterations,
+                                       int(np.ceil(np.log(1 - confidence)
+                                                   / denom)))
     if best["num_inliers"] < 6:
         return dict(success=False, num_inliers=0, inliers=np.zeros(n, bool))
 
+    # LO-RANSAC: minimal-sample DLT poses are noise-sensitive, so the raw
+    # consensus is small; iteratively refine on the inlier set and re-expand
+    # it until the consensus stops growing (COLMAP's LORANSAC equivalent).
     inl = best["inliers"]
-    ref = pose_refinement(camera, best["qvec"], best["tvec"], X[inl], xy[inl])
-    err = _reproj_errors(camera, ref["qvec"], ref["tvec"], X, xy)
-    inl = err < max_error_px
-    return dict(success=True, qvec=ref["qvec"], tvec=ref["tvec"],
-                num_inliers=int(inl.sum()), inliers=inl)
+    qv, tv = best["qvec"], best["tvec"]
+    best_lo = (int(inl.sum()), qv, tv, inl)
+    for _ in range(8):
+        ref = pose_refinement(camera, qv, tv, X[inl], xy[inl])
+        qv, tv = ref["qvec"], ref["tvec"]
+        err = _reproj_errors(camera, qv, tv, X, xy)
+        new_inl = err < max_error_px
+        ni = int(new_inl.sum())
+        if ni > best_lo[0]:
+            best_lo = (ni, qv, tv, new_inl)
+        if ni <= int(inl.sum()):
+            break
+        inl = new_inl
+    ni, qv, tv, inl = best_lo
+    return dict(success=True, qvec=qv, tvec=tv,
+                num_inliers=ni, inliers=inl)

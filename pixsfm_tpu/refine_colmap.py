@@ -52,12 +52,30 @@ class PixSfM:
         self.conf = merge(self.default_conf, conf or {})
         mapping = self.conf.mapping
         self.extractor = FeatureExtractor(self.conf.dense_features)
-        ka_conf = merge({"interpolation": self.conf.interpolation},
-                        mapping.get("KA"))
-        ba_conf = merge({"interpolation": self.conf.interpolation},
-                        mapping.get("BA"))
-        self.keypoint_adjuster = KeypointAdjuster.create(ka_conf)
-        self.bundle_adjuster = BundleAdjuster.create(ba_conf)
+        # interpolation precedence (reference: configs use
+        # ``${..interpolation}`` so the top-level block flows into KA/BA):
+        # explicit mapping.KA/BA.interpolation > top-level interpolation >
+        # strategy defaults. The strategy default_confs carry a concrete
+        # interpolation dict, so the top-level user block must be merged OVER
+        # them — but only when the user did not set one on the strategy.
+        def _user_sub(*keys):
+            c = conf
+            for k in keys:
+                if c is None or not hasattr(c, "get"):
+                    return None
+                c = c.get(k)
+            return c
+
+        def _strategy_conf(name):
+            sc = merge(mapping.get(name), {})
+            sc = merge(sc, {"interpolation": self.conf.interpolation})
+            explicit = _user_sub("mapping", name, "interpolation")
+            if explicit is not None:
+                sc = merge(sc, {"interpolation": explicit})
+            return sc
+
+        self.keypoint_adjuster = KeypointAdjuster.create(_strategy_conf("KA"))
+        self.bundle_adjuster = BundleAdjuster.create(_strategy_conf("BA"))
 
     # -- KA -----------------------------------------------------------------
     def run_ka(self, keypoints: Dict[str, np.ndarray], image_dir,

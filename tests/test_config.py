@@ -66,3 +66,29 @@ def test_default_yaml_loads():
     assert conf.mapping.KA.interpolation.mode == "BICUBIC"
     assert conf.mapping.BA.optimizer.loss.name == "cauchy"
     assert conf.dense_features.model.name == "s2dnet"
+
+
+def test_pixsfm_interpolation_precedence():
+    """Top-level interpolation flows into KA/BA strategy confs (the reference
+    wires this with ${..interpolation}); an explicit per-strategy block still
+    wins; defaults apply otherwise."""
+    from pixsfm_tpu.refine_colmap import PixSfM
+
+    sfm = PixSfM({
+        "dense_features": {"model": {"name": "image", "grayscale": True}},
+        "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+        "mapping": {"KA": {"strategy": "topological_reference"},
+                    "BA": {"strategy": "feature_reference"}}})
+    assert sfm.bundle_adjuster.conf.interpolation.l2_normalize is False
+    assert sfm.keypoint_adjuster.conf.interpolation.l2_normalize is False
+
+    sfm2 = PixSfM({
+        "dense_features": {"model": {"name": "image", "grayscale": True}},
+        "interpolation": {"l2_normalize": False},
+        "mapping": {"BA": {"interpolation": {"l2_normalize": True}}}})
+    assert sfm2.bundle_adjuster.conf.interpolation.l2_normalize is True
+    assert sfm2.keypoint_adjuster.conf.interpolation.l2_normalize is False
+
+    sfm3 = PixSfM({"dense_features": {"model": {"name": "image",
+                                                "grayscale": True}}})
+    assert sfm3.bundle_adjuster.conf.interpolation.l2_normalize is True

@@ -39,6 +39,34 @@ class TestPnP:
                          im.qvec / np.linalg.norm(im.qvec)))
         assert dot > 1.0 - 1e-6, f"rotation mismatch, |dot|={dot}"
 
+    def test_planar_scene(self, rng):
+        """Coplanar 3D points (building facade): the 11-DoF DLT is degenerate
+        there; the homography-decomposition hypotheses must recover the pose."""
+        from pixsfm_tpu.base.geometry import exp_quat, quat_rotate
+        import jax.numpy as jnp
+
+        rng2 = np.random.default_rng(77)
+        n = 120
+        # plane z=5 tilted a bit
+        pts = np.stack([rng2.uniform(-3, 3, n), rng2.uniform(-2, 2, n),
+                        np.zeros(n)], axis=1)
+        tilt = np.asarray(exp_quat(jnp.asarray([0.3, 0.1, 0.0])))
+        pts = np.asarray(jnp.stack([quat_rotate(jnp.asarray(tilt),
+                                                jnp.asarray(p))
+                                    for p in pts])) + [0, 0, 6.0]
+        cam = Camera(1, "SIMPLE_PINHOLE", 1024, 768, [900.0, 512.0, 384.0])
+        q_true = np.asarray(exp_quat(jnp.asarray([0.05, -0.04, 0.03])))
+        t_true = np.array([0.2, -0.1, 0.3])
+        from pixsfm_tpu.localization.pnp import project_np
+        xy, z = project_np(cam, q_true, t_true, pts)
+        assert (z > 0).all()
+        xy = xy + rng2.normal(0, 0.8, xy.shape)    # ~1px noise
+        out = absolute_pose_estimation(xy, pts, cam, max_error_px=6.0)
+        assert out["success"]
+        assert out["num_inliers"] > 0.9 * n, out["num_inliers"]
+        # planar scenes are weakly conditioned along the plane normal
+        np.testing.assert_allclose(out["tvec"], t_true, atol=0.12)
+
     def test_robust_to_outliers(self, rng):
         rec = synth(n_images=3, n_points=100, noise_px=0.2, seed=12)
         im = rec.images[2]

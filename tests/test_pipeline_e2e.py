@@ -100,9 +100,11 @@ def test_ka_and_mapping_e2e(sift_scene):
     kp_before = {n: k.copy() for n, k in keypoints.items()}
     keypoints, ka_out = sfm.run_ka(keypoints, sift_scene["img_dir"],
                                    graph=graph)
-    # KA must have moved some keypoints, but not far (bound 2px)
+    # KA must have moved some keypoints, but stay in the per-coordinate
+    # 2px box (the reference's bound is a box, keypoint_optimizer.h:127-153,
+    # so Euclidean motion can reach sqrt(2)*bound)
     moved = np.concatenate([
-        np.linalg.norm(keypoints[n] - kp_before[n], axis=1)
+        np.abs(keypoints[n] - kp_before[n]).max(axis=1)
         for n in sift_scene["names"]])
     assert moved.max() <= 2.0 + 1e-3
     assert (moved > 1e-4).any()
