@@ -95,26 +95,111 @@ def _essential_from_matches(uv1: np.ndarray, uv2: np.ndarray,
         for t in (U[:, 2], -U[:, 2]):
             cands.append((R, t))
 
-    def count_front(R, t):
-        # triangulate a subset and count positive depths in both views
-        sel = np.nonzero(inl)[0][:50]
-        P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
-        P2 = np.hstack([R, t[:, None]])
-        good = 0
-        for i in sel:
-            A = np.stack([
-                uv1[i, 0] * P1[2] - P1[0], uv1[i, 1] * P1[2] - P1[1],
-                uv2[i, 0] * P2[2] - P2[0], uv2[i, 1] * P2[2] - P2[1]])
-            _, _, Vt3 = np.linalg.svd(A)
-            X = Vt3[-1]
-            X = X[:3] / X[3] if abs(X[3]) > 1e-12 else X[:3]
-            z1 = X[2]
-            z2 = (R @ X + t)[2]
-            good += int(z1 > 0 and z2 > 0)
-        return good
-
-    scored = [(count_front(R, t), R, t) for R, t in cands]
+    scored = [(_count_front(uv1, uv2, R, t, inl), R, t) for R, t in cands]
     front, R, t = max(scored, key=lambda s: s[0])
+    return R, t, inl, front
+
+
+def _count_front(uv1, uv2, R, t, inl, max_pts: int = 50) -> int:
+    """Triangulate a subset of inliers and count positive depths in both
+    views (cheirality scoring for two-view pose candidates)."""
+    sel = np.nonzero(inl)[0][:max_pts]
+    P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = np.hstack([R, t[:, None]])
+    good = 0
+    for i in sel:
+        A = np.stack([
+            uv1[i, 0] * P1[2] - P1[0], uv1[i, 1] * P1[2] - P1[1],
+            uv2[i, 0] * P2[2] - P2[0], uv2[i, 1] * P2[2] - P2[1]])
+        _, _, Vt3 = np.linalg.svd(A)
+        X = Vt3[-1]
+        X = X[:3] / X[3] if abs(X[3]) > 1e-12 else X[:3]
+        z1 = X[2]
+        z2 = (R @ X + t)[2]
+        good += int(z1 > 0 and z2 > 0)
+    return good
+
+
+def _homography_pose_from_matches(uv1: np.ndarray, uv2: np.ndarray,
+                                  iters: int = 500, thresh: float = 2e-3,
+                                  seed: int = 0):
+    """Two-view pose from a calibrated homography (planar scenes, where the
+    8-point E is degenerate — COLMAP similarly selects H vs E/F by support).
+
+    RANSAC 4-point homography on normalized coords, then the Faugeras SVD
+    decomposition H ~ R + t n^T/d (4 sign solutions), cheirality-scored.
+    Returns (R, t, inliers, n_front) or None.
+    """
+    n = len(uv1)
+    if n < 8:
+        return None
+    rng = np.random.default_rng(seed)
+    x1 = np.hstack([uv1, np.ones((n, 1))])
+    best = (0, None, None)
+
+    def fit_H(i1, i2):
+        m = len(i1)
+        A = np.zeros((2 * m, 9))
+        A[0::2, 0:3] = i1
+        A[0::2, 6:9] = -i2[:, 0:1] * i1
+        A[1::2, 3:6] = i1
+        A[1::2, 6:9] = -i2[:, 1:2] * i1
+        _, _, Vt = np.linalg.svd(A)
+        return Vt[-1].reshape(3, 3)
+
+    def transfer_err(H):
+        p = x1 @ H.T
+        p = p[:, :2] / np.where(np.abs(p[:, 2:]) < 1e-12, 1e-12, p[:, 2:])
+        return np.sum((p - uv2) ** 2, axis=1)
+
+    t2 = thresh ** 2
+    for _ in range(iters):
+        idx = rng.choice(n, 4, replace=False)
+        H = fit_H(x1[idx], uv2[idx])
+        inl = transfer_err(H) < t2
+        if inl.sum() > best[0]:
+            for _ in range(3):
+                if inl.sum() < 4:
+                    break
+                H = fit_H(x1[inl], uv2[inl])
+                new = transfer_err(H) < t2
+                if new.sum() <= inl.sum():
+                    break
+                inl = new
+            if inl.sum() > best[0]:
+                best = (int(inl.sum()), H, inl)
+    if best[1] is None or best[0] < 12:
+        return None
+    H, inl = best[1], best[2]
+
+    # Faugeras decomposition
+    U, S, Vt = np.linalg.svd(H)
+    l1, l2, l3 = S / max(S[1], 1e-12)
+    if l1 - l3 < 1e-6:       # pure rotation / no parallax
+        return None
+    s = np.linalg.det(U) * np.linalg.det(Vt)
+    x1c = np.sqrt(max((l1 * l1 - 1.0), 0.0) / (l1 * l1 - l3 * l3))
+    x3c = np.sqrt(max((1.0 - l3 * l3), 0.0) / (l1 * l1 - l3 * l3))
+    sin_t = (l1 - l3) * x1c * x3c
+    cos_t = l1 * x3c * x3c + l3 * x1c * x1c
+    cands = []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            st = e1 * e3 * sin_t
+            Rp = np.array([[cos_t, 0, -st], [0, 1, 0], [st, 0, cos_t]])
+            tp = (l1 - l3) * np.array([e1 * x1c, 0.0, -e3 * x3c])
+            R = s * U @ Rp @ Vt
+            t = U @ tp
+            nt = np.linalg.norm(t)
+            if nt < 1e-9:
+                continue
+            t = t / nt
+            cands.append((R, t))
+            cands.append((R, -t))
+    if not cands:
+        return None
+    scored = [(_count_front(uv1, uv2, R, t, inl), R, t) for R, t in cands]
+    front, R, t = max(scored, key=lambda c: c[0])
     return R, t, inl, front
 
 
@@ -276,11 +361,23 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
                 cb.params[0] = fb * fb0
                 uv1 = ca.cam_from_img(keypoints[na][ms[:, 0]])
                 uv2 = cb.cam_from_img(keypoints[nb][ms[:, 1]])
-                sol = _essential_from_matches(uv1, uv2, iters=400)
+                # model selection: E (general) vs calibrated homography.
+                # A planar scene satisfies the epipolar constraint for a
+                # WRONG pose (the 8-point E is degenerate there) with full
+                # Sampson support and good cheirality, so support counts
+                # alone cannot reject it — like COLMAP, prefer H whenever
+                # its support is comparable (H_inl >= 0.85 * E_inl).
+                solE = _essential_from_matches(uv1, uv2, iters=400)
+                solH = _homography_pose_from_matches(uv1, uv2, iters=300)
+                sol = solE
+                if solH is not None and (
+                        solE is None
+                        or int(solH[2].sum()) >= 0.85 * int(solE[2].sum())):
+                    sol = solH
                 if sol is None:
                     continue
                 R, t, inl, front = sol
-                # score: inliers that also triangulate in front of both views
+                # score: inliers that also triangulate in front of both
                 score = min(int(inl.sum()), 2 * front)
                 if score > best_score:
                     best_score = score

@@ -68,3 +68,38 @@ def test_verify_matches_rejects_outliers():
     inl = verify_matches(x1, x2_out, matches, max_error_px=2.0)
     assert inl[25:].mean() > 0.95
     assert inl[:25].mean() < 0.25
+
+
+def test_homography_pose_planar():
+    """Planar two-view init: the 8-point E is degenerate (it keeps full
+    Sampson support for a wrong pose), the calibrated-homography
+    decomposition recovers the true motion."""
+    from pixsfm_tpu.sfm.mapper import (_essential_from_matches,
+                                       _homography_pose_from_matches)
+
+    rng = np.random.default_rng(0)
+    n = 150
+    X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                  np.full(n, 5.0)], axis=1)
+    th = 0.15
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]])
+    t = np.array([0.8, 0.1, 0.05])
+    X2 = (R @ X.T).T + t
+    uv1 = X[:, :2] / X[:, 2:] + rng.normal(0, 5e-4, (n, 2))
+    uv2 = X2[:, :2] / X2[:, 2:] + rng.normal(0, 5e-4, (n, 2))
+
+    sol = _homography_pose_from_matches(uv1, uv2, iters=300)
+    assert sol is not None
+    Rr, tr, inl, front = sol
+    assert inl.sum() > 0.9 * n
+    assert front > 45
+    np.testing.assert_allclose(Rr, R, atol=5e-2)
+    tdir = tr / np.linalg.norm(tr)
+    np.testing.assert_allclose(tdir, t / np.linalg.norm(t), atol=5e-2)
+
+    # the E solution keeps high support but a wrong pose -> the mapper's
+    # model-selection rule (H support >= 0.85 * E support) must pick H
+    solE = _essential_from_matches(uv1, uv2, iters=400)
+    if solE is not None:
+        assert int(inl.sum()) >= 0.85 * int(solE[2].sum())
