@@ -1,0 +1,95 @@
+"""End-to-end ETH3D triangulation harness on a fully synthetic scene:
+unique textures stamped at ground-truth projections -> SIFT detect/match ->
+KA -> GT-pose triangulation -> BA -> accuracy/completeness vs the GT cloud
+(the real dataset is unavailable in this zero-egress environment)."""
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from pixsfm_tpu.sfm.synthetic import synthetic_reconstruction
+
+
+def _render_scene(rec, image_dir, rng, patch=15):
+    """Stamp a unique random texture at every projection of each 3D point —
+    the same texture across views, so SIFT descriptors match."""
+    from pixsfm_tpu.localization.pnp import project_np
+
+    patterns = {pid: rng.integers(40, 255, (patch, patch))
+                for pid in rec.points3D}
+    h = patch // 2
+    for im in rec.images.values():
+        cam = rec.cameras[im.camera_id]
+        H, W = cam.height, cam.width
+        canvas = rng.integers(0, 25, (H, W)).astype(np.uint8)
+        pids = [pid for pid, p in rec.points3D.items()
+                if any(iid == im.image_id for iid, _ in p.track)]
+        if pids:
+            X = np.stack([rec.points3D[p].xyz for p in pids])
+            xy, z = project_np(cam, im.qvec, im.tvec, X)
+            for pid, (x, y), zz in zip(pids, xy, z):
+                if zz <= 0:
+                    continue
+                cx, cy = int(round(x)), int(round(y))
+                if h <= cx < W - h and h <= cy < H - h:
+                    canvas[cy - h:cy + h + 1, cx - h:cx + h + 1] = \
+                        patterns[pid]
+        PIL.Image.fromarray(canvas).save(image_dir / im.name)
+
+
+def _write_ply(path, pts):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(pts)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "end_header\n")
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_eth3d_triangulation_harness(tmp_path, seed):
+    pytest.importorskip("cv2")
+    rng = np.random.default_rng(seed)
+    rec = synthetic_reconstruction(n_images=5, n_points=50, noise_px=0.0,
+                                   seed=seed, width=480, height=360,
+                                   model="SIMPLE_PINHOLE")
+    scene = tmp_path / "synthetic_scene"
+    (scene / "images").mkdir(parents=True)
+    _render_scene(rec, scene / "images", rng)
+    rec.write_text(scene / "dslr_calibration_undistorted")
+    _write_ply(scene / "scan_clean.ply",
+               np.stack([p.xyz for p in rec.points3D.values()]))
+
+    out = tmp_path / "out"
+    out.mkdir()
+    conf = {
+        "dense_features": {"model": {"name": "image", "grayscale": True},
+                           "l2_normalize": False, "max_edge": 480,
+                           "patch_size": 8, "dtype": "float32"},
+        "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+        "mapping": {
+            "KA": {"strategy": "topological_reference",
+                   "optimizer": {"bound": 1.0,
+                                 "solver": {"max_num_iterations": 5}}},
+            "BA": {"strategy": "geometric",
+                   "optimizer": {"refine_focal_length": False,
+                                 "refine_extra_params": False,
+                                 "solver": {"max_num_iterations": 15,
+                                            "use_inner_iterations": False}}},
+        },
+    }
+    from pixsfm_tpu.eval.eth3d.triangulation import run_scene
+    # SIFT keypoints sit on the corners of the stamped 15px textures, ~7px
+    # from the GT point centers (~0.1 scene units at this focal/depth), so
+    # the tolerances are scaled to the texture size — the test validates the
+    # harness plumbing (detect/match -> KA -> triangulate -> BA -> metrics),
+    # not ETH3D-grade accuracy.
+    metrics = run_scene(scene, out, conf=conf,
+                        tolerances=(0.05, 0.15, 0.3))
+    assert metrics is not None
+    assert metrics["num_points"] >= 15, metrics
+    assert metrics["mean_reproj_error"] < 3.0, metrics
+    assert metrics["accuracy"][2] > 50.0, metrics
+    assert metrics["completeness"][2] > 40.0, metrics
+    assert (out / "results.json").exists()
