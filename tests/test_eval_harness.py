@@ -93,3 +93,22 @@ def test_eth3d_triangulation_harness(tmp_path, seed):
     assert metrics["accuracy"][2] > 50.0, metrics
     assert metrics["completeness"][2] > 40.0, metrics
     assert (out / "results.json").exists()
+
+    # --- localization harness on the same scene (leave-1-out + pose AUC)
+    from pixsfm_tpu.eval.eth3d.localization import run_scene_localization
+    loc_conf = dict(conf)
+    loc_conf.update({
+        "target_reference": "robust_mean",
+        "references": {"iters": 10, "keep_observations": True},
+        "QKA": {"apply": False},
+        "QBA": {"apply": True,
+                "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+                "optimizer": {"solver": {"max_num_iterations": 10}}},
+    })
+    res = run_scene_localization(scene, out, conf=loc_conf, num_holdout=1,
+                                 thresholds=(0.05, 0.15, 0.5))
+    assert res is not None
+    assert res["num_queries"] == 1
+    assert np.isfinite(res["median_error_m"]), res
+    assert res["median_error_m"] < 0.5, res
+    assert (out / "results_localization.json").exists()
