@@ -27,7 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-__all__ = ["make_mesh", "shard_ka_chunk", "sharded_ba_solve"]
+__all__ = ["make_mesh", "shard_ka_chunk", "sharded_ka_solve",
+           "sharded_ba_solve"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -50,6 +51,62 @@ def _pad_to(a: jnp.ndarray, mult: int, axis: int = 0, fill=0):
 def shard_ka_chunk(mesh: Mesh, axis: str = "data"):
     """Sharding spec for KA problem batches: shard the leading P axis."""
     return NamedSharding(mesh, P(axis))
+
+
+def sharded_ka_solve(problems, packed_patches, interp, loss, lm_opts,
+                     mesh: Mesh, axis: str = "data"):
+    """Run the batched KA LM with the problem axis ``P`` sharded over
+    ``mesh`` — KA subproblems are independent, so this is pure data
+    parallelism with zero cross-chip communication (the TPU analogue of the
+    reference's thread pool over FFD bins, parallel_optimizer.h).
+
+    ``problems``: a :class:`KAProblems`; ``packed_patches`` stays replicated
+    (each chip gathers only the rows its problems touch). Returns
+    (kp [P, K, 2] numpy, summary dict) like ``solve_ka_problems``.
+    """
+    from ..keypoint_adjustment.solver import (_compiled_ka_chunk, _interp_key)
+
+    n = mesh.devices.size
+    nP, K, _ = problems.kp0.shape
+    L = max(((nP + n - 1) // n) * n, n)
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def padP(a, fill=0):
+        a = np.asarray(a)
+        if len(a) >= L:
+            return a
+        return np.concatenate(
+            [a, np.full((L - len(a),) + a.shape[1:], fill, a.dtype)])
+
+    x0 = jax.device_put(jnp.asarray(
+        padP(problems.kp0).reshape(L, K * 2)), shard)
+    data = tuple(jax.device_put(jnp.asarray(padP(a)), shard) for a in (
+        problems.patch_row, problems.corner, problems.scale, problems.ups,
+        problems.edge_i, problems.edge_j, problems.edge_w))
+    kp_free = jax.device_put(jnp.asarray(padP(problems.kp_free)), shard)
+    lower = np.nan_to_num(padP(problems.lower, -1e30), neginf=-1e30)
+    upper = np.nan_to_num(padP(problems.upper, 1e30), posinf=1e30)
+    lower[nP:] = -1e30
+    upper[nP:] = 1e30
+    pmask = np.zeros(L, bool)
+    pmask[:nP] = True
+
+    run_chunk = _compiled_ka_chunk(
+        _interp_key(interp), (loss.name, tuple(loss.params), loss.scale),
+        lm_opts, K)
+    with mesh:
+        x, summary = run_chunk(
+            jax.device_put(jnp.asarray(packed_patches), repl), x0, data,
+            kp_free, jax.device_put(jnp.asarray(lower), shard),
+            jax.device_put(jnp.asarray(upper), shard),
+            jax.device_put(jnp.asarray(pmask), shard))
+    kp = np.asarray(x).reshape(L, K, 2)[:nP]
+    tot = dict(initial_cost=float(jnp.sum(summary.initial_cost[:nP])),
+               final_cost=float(jnp.sum(summary.final_cost[:nP])),
+               num_problems=nP,
+               iterations=int(jnp.max(summary.iterations)))
+    return kp, tot
 
 
 def sharded_ba_solve(residual_fn, state0, obs, loss, pose_free, tvec_free,

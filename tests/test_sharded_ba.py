@@ -65,3 +65,51 @@ def test_sharded_matches_single_device():
                                np.asarray(state_ref.xyz), atol=1e-3)
     np.testing.assert_allclose(np.asarray(state_sh.tvec),
                                np.asarray(state_ref.tvec), atol=1e-3)
+
+
+def test_sharded_ka_matches_single_device():
+    """sharded_ka_solve over the 8-device mesh == solve_ka_problems."""
+    import jax
+    import numpy as np
+    from pixsfm_tpu.base.interpolation import InterpolationConfig
+    from pixsfm_tpu.base.losses import RobustLoss
+    from pixsfm_tpu.keypoint_adjustment.solver import (KAProblems,
+                                                       solve_ka_problems)
+    from pixsfm_tpu.ops.lm import LMOptions
+    from pixsfm_tpu.parallel.sharded import make_mesh, sharded_ka_solve
+
+    rng = np.random.default_rng(3)
+    P, K, E, C, ps = 12, 6, 10, 8, 16
+    field = rng.normal(0, 1, (ps, ps, C)).astype(np.float32)
+    patches = (field[None] + 0.05 * rng.normal(
+        0, 1, (P * K, ps, ps, C))).astype(np.float32)
+    kp0 = rng.uniform(5.0, 11.0, (P, K, 2)).astype(np.float32)
+    problems = KAProblems(
+        kp0=kp0,
+        patch_row=np.arange(P * K, dtype=np.int32).reshape(P, K),
+        corner=np.zeros((P, K, 2), np.float32),
+        scale=np.ones((P, K, 2), np.float32),
+        ups=np.ones((P, K), np.float32),
+        kp_free=np.ones((P, K), bool),
+        kp_valid=np.ones((P, K), bool),
+        edge_i=rng.integers(0, K, (P, E)).astype(np.int32),
+        edge_j=(rng.integers(1, K, (P, E))
+                + np.arange(P)[:, None] * 0).astype(np.int32) % K,
+        edge_w=np.ones((P, E), np.float32),
+        lower=kp0 - 3.0, upper=kp0 + 3.0,
+        node_problem=np.zeros(1, np.int64),
+        node_slot=np.zeros(1, np.int64),
+        node_ids=np.zeros(1, np.int64))
+
+    interp = InterpolationConfig(mode="BICUBIC", l2_normalize=True)
+    loss = RobustLoss("cauchy", [0.25])
+    opts = LMOptions(max_iterations=15, parameter_tolerance=1e-6)
+
+    kp_ref, sum_ref = solve_ka_problems(problems, patches, interp, loss,
+                                        opts, chunk=P)
+    mesh = make_mesh(len(jax.devices()))
+    kp_sh, sum_sh = sharded_ka_solve(problems, patches, interp, loss, opts,
+                                     mesh)
+    np.testing.assert_allclose(kp_sh, kp_ref, atol=1e-4)
+    np.testing.assert_allclose(sum_sh["final_cost"], sum_ref["final_cost"],
+                               rtol=1e-4)
