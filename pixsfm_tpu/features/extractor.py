@@ -43,6 +43,38 @@ def extract_patches_numpy(featuremap: np.ndarray, corners: np.ndarray,
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _compiled_extract_patches(ps: int, l2: bool, dtype_str: str):
+    """Device-side l2-normalize + cast + window-cut: only the [N, ps, ps, C]
+    stack crosses the device->host boundary (the dense featuremap can be
+    ~(H*W)/(N*ps^2) times larger — a big saving through the TPU tunnel).
+    Retraces per (H, W, N) shape; dataset images share few shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    jdt = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
+           "float32": jnp.float32, "float64": jnp.float32}[dtype_str]
+
+    @jax.jit
+    def run(fmap, corners):
+        f = fmap.astype(jnp.float32)
+        if l2:
+            f = f / jnp.maximum(
+                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+        f = f.astype(jdt)
+        C = f.shape[-1]
+
+        def one(c):
+            return jax.lax.dynamic_slice(f, (c[1], c[0], 0), (ps, ps, C))
+
+        return jax.vmap(one)(corners)
+
+    return run
+
+
 class FeatureExtractor:
     default_conf = {
         "device": "auto",
@@ -114,13 +146,17 @@ class FeatureExtractor:
             tens = self.model.preprocess(img_pyr)
             feats = self.model(tens)
             for level, fm in enumerate(feats):
-                fmaps.append(self._to_fmap(np.asarray(fm[0]), img_size,
+                fmaps.append(self._to_fmap(fm[0], img_size,
                                            keypoints, keypoint_ids, as_dict,
                                            overwrite_sparse))
         return fmaps
 
-    def _to_fmap(self, fmap: np.ndarray, image_size, keypoints, keypoint_ids,
+    def _to_fmap(self, fmap, image_size, keypoints, keypoint_ids,
                  as_dict, overwrite_sparse):
+        """``fmap`` may be a device (jax) array — for sparse extraction the
+        l2-normalize/cast/window-cut all run on device and only the
+        [N, ps, ps, C] patch stack is transferred to the host (the full dense
+        map can be an order of magnitude larger)."""
         sparse = (self.conf.sparse if overwrite_sparse is None
                   else overwrite_sparse)
         w, h = image_size
@@ -135,11 +171,6 @@ class FeatureExtractor:
         if sparse and keypoints is None:
             raise RuntimeError("sparse extraction requires keypoints")
 
-        if self.conf.l2_normalize:
-            fmap = fmap / np.maximum(
-                np.linalg.norm(fmap, axis=-1, keepdims=True), 1e-12)
-        fmap = fmap.astype(storage_dtype(self.storage_dtype))
-
         fh, fw, C = fmap.shape
         scale = np.array([fw / w, fh / h])
 
@@ -150,12 +181,28 @@ class FeatureExtractor:
             corners = (keypoints * scale - ps / 2.0).astype(np.int32)
             corners = np.clip(corners, [0, 0],
                               [max(fw - ps - 1, 0), max(fh - ps - 1, 0)])
-            patches = extract_patches_numpy(fmap, corners, ps)
+            run = _compiled_extract_patches(
+                ps, bool(self.conf.l2_normalize), self.storage_dtype)
+            import jax.numpy as jnp
+            patches = np.asarray(run(jnp.asarray(fmap),
+                                     jnp.asarray(corners, jnp.int32)))
             data = dict(patches=patches, corners=corners,
                         keypoint_ids=list(keypoint_ids),
                         metadata=dict(scale=scale, is_sparse=True,
                                       patch_size=ps))
-        elif not sparse or not self.conf.use_cache or not as_dict:
+            if as_dict:
+                return data
+            return FeatureMap.from_arrays(
+                data["patches"], data["keypoint_ids"], data["corners"],
+                scale, is_sparse=True)
+
+        fmap = np.asarray(fmap)
+        if self.conf.l2_normalize:
+            fmap = fmap / np.maximum(
+                np.linalg.norm(fmap, axis=-1, keepdims=True), 1e-12)
+        fmap = fmap.astype(storage_dtype(self.storage_dtype))
+
+        if not sparse or not self.conf.use_cache or not as_dict:
             data = dict(patches=fmap[None],
                         corners=np.array([[0, 0]], np.int32),
                         keypoint_ids=[kDensePatchId],
