@@ -95,3 +95,16 @@ def test_nonmonotonic_acceptance():
     direct = np.asarray(cost_fn(jnp.asarray(x)))
     np.testing.assert_allclose(np.asarray(summary.final_cost), direct,
                                atol=1e-5)
+
+
+def test_cg_linear_solver_converges():
+    """Jacobi-PCG inexact steps still converge to the optimum."""
+    system_fn, cost_fn, x_star = quadratic_problem(seed=6)
+    x0 = jnp.zeros((16, 6), jnp.float32)
+    x, summary = lm_solve(system_fn, cost_fn, x0,
+                          opts=LMOptions(max_iterations=60,
+                                         parameter_tolerance=1e-8,
+                                         linear_solver="cg",
+                                         cg_iterations=15))
+    np.testing.assert_allclose(np.asarray(x), x_star, atol=2e-3)
+    assert bool(jnp.all(summary.final_cost < 1e-4))
