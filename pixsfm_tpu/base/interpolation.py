@@ -377,21 +377,28 @@ def bicubic_window_eval(patches, r, c):
     path (reference: cubic_hermite_spline_simd.h reads the same 4x4 window)."""
     N, H, W, C = patches.shape
     base_r = jnp.floor(r).astype(jnp.int32)
-    base_c = jnp.floor(c).astype(jnp.int32)
     wr, dwr = catmull_rom_weights(r - jnp.floor(r))      # [N, 4]
-    wc, dwc = catmull_rom_weights(c - jnp.floor(c))
+    wc4, dwc4 = catmull_rom_weights(c - jnp.floor(c))
+    # column taps as DENSE clamped weights (duplicates at the border sum,
+    # == Grid2D clamped reads); row taps stay a 4-row GATHER — but of whole
+    # W*C-contiguous rows (KBs each), which the TPU gather unit handles ~10x
+    # more efficiently than 16 individual C-pixel reads per query.
+    wc = _dense_taps(c, W, _TAPS_BICUBIC, wc4)           # [N, W]
+    dwc = _dense_taps(c, W, _TAPS_BICUBIC, dwc4)
     taps = jnp.arange(-1, 3, dtype=jnp.int32)
     ri = jnp.clip(base_r[:, None] + taps, 0, H - 1)      # [N, 4]
-    ci = jnp.clip(base_c[:, None] + taps, 0, W - 1)
-    flat = patches.reshape(N * H * W, C)
-    idx = (jnp.arange(N, dtype=jnp.int32)[:, None, None] * (H * W)
-           + ri[:, :, None] * W + ci[:, None, :])        # [N, 4, 4]
-    win = flat[idx.reshape(N, 16)].reshape(N, 4, 4, C).astype(jnp.float32)
-    f = jnp.einsum("na,nabc,nb->nc", wr, win, wc,
+    rows = patches.reshape(N * H, W * C)
+    idx = jnp.arange(N, dtype=jnp.int32)[:, None] * H + ri
+    win = rows[idx].reshape(N, 4, W, C).astype(jnp.float32)
+    colmix = jnp.einsum("nawc,nw->nac", win, wc,
+                        preferred_element_type=jnp.float32)   # [N, 4, C]
+    dcolmix = jnp.einsum("nawc,nw->nac", win, dwc,
+                         preferred_element_type=jnp.float32)
+    f = jnp.einsum("nac,na->nc", colmix, wr,
                    preferred_element_type=jnp.float32)
-    dfdr = jnp.einsum("na,nabc,nb->nc", dwr, win, wc,
+    dfdr = jnp.einsum("nac,na->nc", colmix, dwr,
                       preferred_element_type=jnp.float32)
-    dfdc = jnp.einsum("na,nabc,nb->nc", wr, win, dwc,
+    dfdc = jnp.einsum("nac,na->nc", dcolmix, wr,
                       preferred_element_type=jnp.float32)
     return f, dfdr, dfdc
 

@@ -110,6 +110,9 @@ def test_sharded_ka_matches_single_device():
     mesh = make_mesh(len(jax.devices()))
     kp_sh, sum_sh = sharded_ka_solve(problems, patches, interp, loss, opts,
                                      mesh)
-    np.testing.assert_allclose(kp_sh, kp_ref, atol=1e-4)
+    # atol: sharded vs single-device compilations contract the Gram-form
+    # normal equations in different orders; keypoints are O(10) px so 5e-4
+    # is ~1e-5 relative.
+    np.testing.assert_allclose(kp_sh, kp_ref, atol=5e-4)
     np.testing.assert_allclose(sum_sh["final_cost"], sum_ref["final_cost"],
                                rtol=1e-4)
