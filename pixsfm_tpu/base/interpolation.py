@@ -34,6 +34,7 @@ __all__ = [
     "interpolate", "interpolate_with_grad",
     "interpolate_nodes", "interpolate_nodes_with_grad",
     "l2_normalize_with_grad", "ncc_normalize", "bicubic_window_eval",
+    "bicubic_window_eval_rows",
 ]
 
 INTERPOLATOR_TYPES = (
@@ -376,6 +377,22 @@ def bicubic_window_eval(patches, r, c):
     of the whole patch: 16x less HBM traffic at ps=16. This is the KA hot
     path (reference: cubic_hermite_spline_simd.h reads the same 4x4 window)."""
     N, H, W, C = patches.shape
+    rows = patches.reshape(N * H, W, C)
+    row_base = jnp.arange(N, dtype=jnp.int32) * H
+    return bicubic_window_eval_rows(rows, H, W, C, row_base, r, c)
+
+
+def bicubic_window_eval_rows(rows, H: int, W: int, C: int, row_base, r, c):
+    """Window eval against a flat ``[total_rows, W, C]`` row view.
+
+    ``row_base[n]`` is the first row of query n's patch. Callers that hold a
+    packed ``[Npatches, H, W, C]`` array should take
+    ``rows = packed.reshape(-1, W, C)`` OUTSIDE any solver loop and pass
+    ``row_base = patch_row * H``. Keeping the (W, C) minor dims intact makes
+    that reshape a free bitcast (identical tiling) and lets the row gather
+    emit ``[N, 4, W, C]`` directly — a flat ``[*, W*C]`` view instead costs
+    a physical 98MB tile-layout copy per LM iteration at bench shapes.
+    """
     base_r = jnp.floor(r).astype(jnp.int32)
     wr, dwr = catmull_rom_weights(r - jnp.floor(r))      # [N, 4]
     wc4, dwc4 = catmull_rom_weights(c - jnp.floor(c))
@@ -387,13 +404,15 @@ def bicubic_window_eval(patches, r, c):
     dwc = _dense_taps(c, W, _TAPS_BICUBIC, dwc4)
     taps = jnp.arange(-1, 3, dtype=jnp.int32)
     ri = jnp.clip(base_r[:, None] + taps, 0, H - 1)      # [N, 4]
-    rows = patches.reshape(N * H, W * C)
-    idx = jnp.arange(N, dtype=jnp.int32)[:, None] * H + ri
-    win = rows[idx].reshape(N, 4, W, C).astype(jnp.float32)
-    colmix = jnp.einsum("nawc,nw->nac", win, wc,
-                        preferred_element_type=jnp.float32)   # [N, 4, C]
-    dcolmix = jnp.einsum("nawc,nw->nac", win, dwc,
-                         preferred_element_type=jnp.float32)
+    idx = row_base[:, None] + ri
+    # keep the gathered window in its storage dtype: both column mixes read
+    # it once each with the f32 convert fused into the reduction (an explicit
+    # astype materializes an f32 copy because it has two consumers)
+    win = rows[idx]                                      # [N, 4, W, C]
+    wcs = jnp.stack([wc, dwc], axis=1)                   # [N, 2, W]
+    mix = jnp.einsum("nawc,nsw->nsac", win, wcs,
+                     preferred_element_type=jnp.float32)  # [N, 2, 4, C]
+    colmix, dcolmix = mix[:, 0], mix[:, 1]
     f = jnp.einsum("nac,na->nc", colmix, wr,
                    preferred_element_type=jnp.float32)
     dfdr = jnp.einsum("nac,na->nc", colmix, dwr,

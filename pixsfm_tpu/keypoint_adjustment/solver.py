@@ -182,14 +182,34 @@ def build_ka_problems(keypoints: Dict[str, np.ndarray], graph,
 # device-side system assembly
 # ---------------------------------------------------------------------------
 
-def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig):
+def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig,
+                    rows_spec=None):
     """Batched per-keypoint interpolation: returns f, dfdx, dfdy [P, K, C]
-    (derivatives w.r.t. image coordinates)."""
+    (derivatives w.r.t. image coordinates).
+
+    ``rows_spec = (rows, ps, C, patch_row)`` routes the bicubic window eval
+    against a pre-materialized flat row view of the PACKED patch array
+    (``rows = packed.reshape(-1, ps*C)``, hoisted out of the solver loop);
+    ``patches`` is ignored then and no per-problem patch gather happens."""
     uv = (kp * scale - 0.5 - corner) * ups[..., None]
     r = uv[..., 1]
     c = uv[..., 0]
 
-    if interp.mode in ("BICUBIC", "CERES_BICUBIC") and not interp.ncc_normalize:
+    if rows_spec is not None:
+        from ..base.interpolation import (bicubic_window_eval_rows,
+                                          l2_normalize_with_grad)
+        rows, ps, C, patch_row = rows_spec
+        P, K = r.shape
+        row_base = patch_row.reshape(-1).astype(jnp.int32) * ps
+        f, dfdr, dfdc = bicubic_window_eval_rows(
+            rows, ps, ps, C, row_base, r.reshape(-1), c.reshape(-1))
+        if interp.l2_normalize:
+            f, (dfdr, dfdc) = l2_normalize_with_grad(f, (dfdr, dfdc))
+        f = f.reshape(P, K, C)
+        dfdr = dfdr.reshape(P, K, C)
+        dfdc = dfdc.reshape(P, K, C)
+    elif (interp.mode in ("BICUBIC", "CERES_BICUBIC")
+          and not interp.ncc_normalize):
         # hot path: 4x4-window gather (16x less HBM than the dense one-hot
         # contraction at ps=16)
         from ..base.interpolation import (bicubic_window_eval,
@@ -216,7 +236,8 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
 
 
 def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
-                   K: int, use_pallas: bool = False, pregathered: bool = False):
+                   K: int, use_pallas: bool = False, pregathered: bool = False,
+                   rows_spec=None):
     """Return (system_fn, cost_fn) factories closing over static config.
 
     The returned functions take the padded problem arrays explicitly so a single
@@ -225,7 +246,10 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
     gather materialization in HBM). ``pregathered`` means ``all_patches`` is
     already the per-problem [P,K,ps,ps,C] tensor — the HBM gather was hoisted
     out of the LM while_loop (it is loop-invariant: the same patches serve
-    every iteration's system/cost evaluation).
+    every iteration's system/cost evaluation). ``rows_spec = (rows, ps, C)``
+    is the fastest path: interpolate straight from the flat row view of the
+    PACKED array (no per-problem gather at all; the window gather indexes
+    ``patch_row * ps`` rows).
     """
 
     def _delta_edges(edge_i, edge_j):
@@ -239,7 +263,12 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
         (patch_row, corner, scale, ups, edge_i, edge_j, edge_w) = data
         P = x.shape[0]
         kp = x.reshape(P, K, 2)
-        if pregathered:
+        if rows_spec is not None:
+            rows, ps, C = rows_spec
+            f, dfdx, dfdy = _eval_keypoints(None, kp, corner, scale, ups,
+                                            interp,
+                                            rows_spec=(rows, ps, C, patch_row))
+        elif pregathered:
             f, dfdx, dfdy = _eval_keypoints(all_patches, kp, corner, scale,
                                             ups, interp)
         elif use_pallas:
@@ -358,20 +387,38 @@ def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
 
 
 def make_target_system(all_patches, interp: InterpolationConfig,
-                       loss: RobustLoss, pregathered: bool = False):
+                       loss: RobustLoss, pregathered: bool = False,
+                       rows_spec=None):
     """Fixed-target system: per problem one 2-DoF keypoint against constant
     reference descriptors (covers topological_reference KA — the root is constant
     so its descriptor is a fixed target — and QKA's FeatureReference2DCostFunctor,
     reference residuals/src/feature_reference.h:23-66).
 
     Problem data: patch_row [P], corner/scale [P,2], ups [P], targets [P,T,C],
-    target_w [P,T] (0 = padding).
+    target_w [P,T] (0 = padding). ``rows_spec = (rows, ps, C)`` interpolates
+    straight from the flat row view of the packed array (see make_ka_system).
     """
 
     def _eval(x, data):
         patch_row, corner, scale, ups, targets, target_w = data
         kp = x  # [P, 2]
         uv = (kp * scale - 0.5 - corner) * ups[..., None]
+
+        if rows_spec is not None:
+            from ..base.interpolation import (bicubic_window_eval_rows,
+                                              l2_normalize_with_grad)
+            rows, ps, C = rows_spec
+            row_base = patch_row.astype(jnp.int32) * ps
+            f, dfdr, dfdc = bicubic_window_eval_rows(
+                rows, ps, ps, C, row_base, uv[..., 1], uv[..., 0])
+            if interp.l2_normalize:
+                f, (dfdr, dfdc) = l2_normalize_with_grad(f, (dfdr, dfdc))
+            su = scale * ups[..., None]
+            dfdx = dfdc * su[..., 0:1]
+            dfdy = dfdr * su[..., 1:2]
+            r = f[:, None, :] - targets          # [P, T, C]
+            s = jnp.sum(r * r, axis=-1)          # [P, T]
+            return f, dfdx, dfdy, r, s
 
         def one(patch, rr, cc):
             return interpolate_with_grad(patch, rr, cc, interp)
@@ -413,10 +460,18 @@ def _compiled_target_chunk(interp_key, loss_key, lm_opts: LMOptions):
 
     @jax.jit
     def run_chunk(all_patches, x0, data, lower, upper, pmask, fmask):
-        # hoist the loop-invariant patch gather out of the LM while_loop
-        patches_p = all_patches[data[0]]
-        system_fn, cost_fn = make_target_system(patches_p, interp, loss,
-                                                pregathered=True)
+        window_ok = (interp.mode in ("BICUBIC", "CERES_BICUBIC")
+                     and not interp.ncc_normalize)
+        if window_ok:
+            n, ps, _, C = all_patches.shape
+            rows = all_patches.reshape(n * ps, ps, C)  # free bitcast
+            system_fn, cost_fn = make_target_system(None, interp, loss,
+                                                    rows_spec=(rows, ps, C))
+        else:
+            # hoist the loop-invariant patch gather out of the LM while_loop
+            patches_p = all_patches[data[0]]
+            system_fn, cost_fn = make_target_system(patches_p, interp, loss,
+                                                    pregathered=True)
         sysf = lambda x: system_fn(x, data)
         costf = lambda x: cost_fn(x, data)
         return lm_solve(sysf, costf, x0, param_mask=fmask,
@@ -501,9 +556,20 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
 
     @jax.jit
     def run_chunk(all_patches, x0, data, kp_free, lower, upper, pmask):
+        window_ok = (interp.mode in ("BICUBIC", "CERES_BICUBIC")
+                     and not interp.ncc_normalize)
         if use_pallas:
             system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K,
                                                 use_pallas=True)
+        elif window_ok:
+            # flat row view of the PACKED array, materialized ONCE before the
+            # LM while_loop (the reshape is a physical tile-layout copy; the
+            # window gather then indexes patch_row*ps rows directly — no
+            # per-problem [P,K,ps,ps,C] gather at all)
+            n, ps, _, C = all_patches.shape
+            rows = all_patches.reshape(n * ps, ps, C)  # free bitcast
+            system_fn, cost_fn = make_ka_system(None, interp, loss, K,
+                                                rows_spec=(rows, ps, C))
         else:
             # hoist the [P,K,ps,ps,C] patch gather out of the LM while_loop:
             # it is loop-invariant and otherwise re-reads HBM twice/iteration
