@@ -38,13 +38,21 @@ def _enable_compile_cache():
               file=__import__("sys").stderr)
 
 
-def build_workload(P=192, K=48, E=96, C=128, ps=16, seed=0):
-    """Synthetic padded KA problems + packed patches."""
+def build_workload(P=192, K=48, E=96, C=128, ps=16, seed=0,
+                   make_patches=True):
+    """Synthetic padded KA problems + packed patches.
+
+    ``make_patches=False`` skips the (large) patch array — callers that
+    synthesize patches on device (multi-GB at P >= 512; the remote tunnel
+    serializes host->device transfers far too slowly) only need the
+    problem metadata."""
     rng = np.random.default_rng(seed)
     n_patches = P * K
-    field = rng.normal(0, 1, (ps, ps, C)).astype(np.float32)
-    patches = (field[None] + 0.05 * rng.normal(
-        0, 1, (n_patches, ps, ps, C))).astype("bfloat16")
+    patches = None
+    if make_patches:
+        field = rng.normal(0, 1, (ps, ps, C)).astype(np.float32)
+        patches = (field[None] + 0.05 * rng.normal(
+            0, 1, (n_patches, ps, ps, C))).astype("bfloat16")
 
     from pixsfm_tpu.keypoint_adjustment.solver import KAProblems
 

@@ -1,0 +1,196 @@
+"""Measure TPU DMA throughput for per-query bicubic-window reads vs XLA gather.
+
+Decides the design of the fused Pallas interpolation kernel: the KA hot loop
+reads a 4-row window per keypoint from the packed patch array. The XLA path
+does this as a hardware row-gather of [N, 4, W, C] (whole rows, ~16 KB/query).
+A Pallas kernel could instead DMA only the 4x4 column window (~2 KB/query,
+4x less HBM) — but pays one DMA descriptor per query. This microbench measures
+(a) the XLA row gather, (b) per-query contiguous 4-row DMAs, and (c) per-query
+strided 4x4xC DMAs, all at bench shapes, to see which wins.
+
+Run manually: python examples/bench_dma_gather.py
+"""
+
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    N, ps, C = 6144, 16, 128          # bench: P=128, K=48 queries
+    NP = N                            # one patch per query
+    rng = np.random.default_rng(0)
+    rows_np = np.arange(N, dtype=np.int32)          # query -> patch
+    r_np = rng.uniform(1.0, ps - 3.0, N).astype(np.float32)
+    c_np = rng.uniform(1.0, ps - 3.0, N).astype(np.float32)
+
+    # synthesize the 100MB patch array ON DEVICE (the tunnel serializes
+    # host->device transfers too slowly to ship it)
+    @jax.jit
+    def synth(key):
+        return jax.random.normal(key, (NP * ps, ps, C)).astype(jnp.bfloat16)
+
+    rowsv = synth(jax.random.PRNGKey(0))
+    rowsv.block_until_ready()
+    rstart = jnp.asarray(
+        (rows_np * ps + np.clip(np.floor(r_np) - 1, 0, ps - 4))
+        .astype(np.int32))
+    cstart = jnp.asarray(np.clip(np.floor(c_np) - 1, 0, ps - 4)
+                         .astype(np.int32))
+
+    LOOP = 4000
+
+    def sync(x):
+        return float(np.asarray(x).ravel()[0])
+
+    _z = jnp.zeros(8)
+    sync(_z)
+
+    def measure_rtt():
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(_z + 1.0)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    print(f"[RTT {measure_rtt()*1e3:.0f} ms]", flush=True)
+
+    def timeit(fn, *args):
+        sync(fn(*args))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        rtt = measure_rtt()   # fresh: the tunnel's latency drifts by seconds
+        return max(min(ts) - rtt, 1e-9 * LOOP) / LOOP
+
+    # (a) XLA row gather: [N, 4] row indices -> [N, 4, W, C]
+    @jax.jit
+    def xla_gather(rowsv, rstart):
+        taps = jnp.arange(4, dtype=jnp.int32)
+
+        def body(i, acc):
+            idx = (rstart + i)[:, None] + taps
+            win = rowsv[idx]                        # [N, 4, W, C]
+            return acc + jnp.sum(win.astype(jnp.float32), axis=(1, 2, 3))
+
+        return jax.lax.fori_loop(0, LOOP, body, jnp.zeros(N, jnp.float32))
+
+    t = timeit(xla_gather, rowsv, rstart)
+    gb = N * 4 * ps * C * 2 / 1e9
+    print(f"XLA row-gather [N,4,{ps},{C}]: {t*1e3:7.3f} ms "
+          f"({gb/t:6.1f} GB/s eff)", flush=True)
+
+    # (b) Pallas: per-query contiguous 4-row DMA ([4*W*C] = 16 KB each)
+    B = 512  # queries per grid step; 2-deep pipeline across steps
+
+    def make_kernel(window_cols):
+        W = ps
+        cw = window_cols if window_cols else W
+
+        def kernel(rstart_ref, cstart_ref, hbm_ref, out_ref, scratch, sem):
+            step = pl.program_id(0)
+            nsteps = pl.num_programs(0)
+
+            def start_block(s, slot):
+                base = s * B
+
+                def start_one(i, _):
+                    r0 = rstart_ref[base + i]
+                    if window_cols:
+                        c0 = cstart_ref[base + i]
+                        cp = pltpu.make_async_copy(
+                            hbm_ref.at[pl.ds(r0, 4), pl.ds(c0, cw), :],
+                            scratch.at[slot, i], sem.at[slot, i])
+                    else:
+                        cp = pltpu.make_async_copy(
+                            hbm_ref.at[pl.ds(r0, 4)],
+                            scratch.at[slot, i], sem.at[slot, i])
+                    cp.start()
+                    return 0
+
+                jax.lax.fori_loop(0, B, start_one, 0)
+
+            @pl.when(step == 0)
+            def _():
+                start_block(0, 0)
+
+            @pl.when(step + 1 < nsteps)
+            def _():
+                start_block(step + 1, (step + 1) % 2)
+
+            slot = step % 2
+
+            def wait_one(i, _):
+                pltpu.make_async_copy(
+                    scratch.at[slot, i], scratch.at[slot, i],
+                    sem.at[slot, i]).wait()
+                return 0
+
+            jax.lax.fori_loop(0, B, wait_one, 0)
+            # Mosaic can't lower a 4D->1D multi_reduction; reshape to 3D and
+            # reduce the middle axis instead
+            out_ref[:] = jnp.sum(
+                scratch[slot].astype(jnp.float32).reshape(B, 4 * cw, C),
+                axis=1)
+
+        return kernel, cw
+
+    def pallas_dma(window_cols):
+        kernel, cw = make_kernel(window_cols)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N // B,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((B, C), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, B, 4, cw, C), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, B)),
+            ],
+        )
+
+        @jax.jit
+        def run(rstart, cstart, rowsv):
+            call = pl.pallas_call(
+                kernel, out_shape=jax.ShapeDtypeStruct((N, C), jnp.float32),
+                grid_spec=grid_spec)
+
+            def body(i, acc):
+                return acc + call(rstart, cstart, rowsv)
+
+            return jax.lax.fori_loop(0, LOOP, body,
+                                     jnp.zeros((N, C), jnp.float32))
+
+        return run
+
+    for cols, label in [(0, "4-row (16KB)"), (4, "4x4 (2KB)")]:
+        try:
+            run = pallas_dma(cols)
+            t = timeit(run, rstart, cstart, rowsv)
+            nb = N * 4 * (cols or ps) * C * 2 / 1e9
+            print(f"Pallas DMA {label:12s}: {t*1e3:7.3f} ms "
+                  f"({nb/t:6.1f} GB/s eff, {N/t/1e6:5.1f} M desc/s)",
+                  flush=True)
+        except Exception as e:
+            print(f"Pallas DMA {label}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

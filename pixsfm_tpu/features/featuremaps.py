@@ -260,6 +260,37 @@ class PackedFeatures:
     def rows(self, pairs: Iterable[Tuple[str, int]]) -> np.ndarray:
         return np.asarray([self.row(n, i) for n, i in pairs], dtype=np.int32)
 
+    def rows_for_image(self, image_name: str,
+                       p2D_idxs: np.ndarray) -> np.ndarray:
+        """Vectorized :meth:`row` for many keypoints of ONE image.
+
+        Builds (and caches) a dense ``p2D_idx -> row`` array per image from
+        the index dict, so packing large scenes is numpy-indexing instead of
+        a Python dict lookup per keypoint."""
+        p2D_idxs = np.asarray(p2D_idxs, np.int64)
+        if image_name in self.dense_images:
+            return np.full(len(p2D_idxs), self.dense_images[image_name],
+                           np.int64)
+        cache = self.__dict__.setdefault("_image_row_cache", {})
+        if not cache:
+            # one pass over the whole index builds every image's LUT
+            per_image: Dict[str, list] = {}
+            for (n, i), row in self.index.items():
+                per_image.setdefault(n, []).append((i, row))
+            for n, pairs in per_image.items():
+                arr = np.asarray(pairs, np.int64)
+                lut_n = np.full(int(arr[:, 0].max()) + 1, -1, np.int64)
+                lut_n[arr[:, 0]] = arr[:, 1]
+                cache[n] = lut_n
+        lut = cache.get(image_name)
+        if lut is None:
+            raise KeyError(image_name)
+        rows = lut[p2D_idxs]
+        if (rows < 0).any():
+            missing = p2D_idxs[rows < 0][:5]
+            raise KeyError(f"{image_name}: keypoints {missing} not packed")
+        return rows
+
 
 class FeatureView:
     """Packs exactly the patches a solve touches (reference: featureview.cc:7-114).

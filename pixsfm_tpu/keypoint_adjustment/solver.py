@@ -143,28 +143,39 @@ def build_ka_problems(keypoints: Dict[str, np.ndarray], graph,
              else np.asarray(constant_nodes, bool))
 
     ps = packed.patches.shape[1] if packed.num_patches else 0
-    for nid in sorted_nodes:
-        p, k = node_problem[nid], node_slot[nid]
-        name = graph.image_id_to_name[int(image_ids[nid])]
-        fidx = int(feature_idxs[nid])
-        row = packed.row(name, fidx)
-        kp = keypoints[name][fidx]
-        kp0[p, k] = kp
-        patch_row[p, k] = row
-        corner[p, k] = packed.corners[row]
-        scale[p, k] = packed.scales[row]
-        ups[p, k] = packed.upsampling[row]
-        kp_valid[p, k] = True
-        kp_free[p, k] = not (root_labels[nid] or const[nid])
+    if len(sorted_nodes):
+        # vectorized packing: per-image numpy gathers instead of a Python
+        # loop per node (the loop dominated host time at Aachen-scale scenes)
+        p_arr = node_problem[sorted_nodes]
+        k_arr = node_slot[sorted_nodes]
+        img_arr = image_ids[sorted_nodes]
+        fid_arr = np.asarray(feature_idxs)[sorted_nodes]
+        rows_all = np.empty(len(sorted_nodes), np.int64)
+        kp_all = np.empty((len(sorted_nodes), 2), np.float64)
+        for iid in np.unique(img_arr):
+            m = img_arr == iid
+            name = graph.image_id_to_name[int(iid)]
+            fi = fid_arr[m]
+            kp_all[m] = np.asarray(keypoints[name])[fi]
+            rows_all[m] = packed.rows_for_image(name, fi)
+        kp0[p_arr, k_arr] = kp_all
+        patch_row[p_arr, k_arr] = rows_all
+        corner[p_arr, k_arr] = packed.corners[rows_all]
+        scale[p_arr, k_arr] = packed.scales[rows_all]
+        ups[p_arr, k_arr] = packed.upsampling[rows_all]
+        kp_valid[p_arr, k_arr] = True
+        kp_free[p_arr, k_arr] = ~(
+            np.asarray(root_labels, bool)[sorted_nodes]
+            | const[sorted_nodes])
         # bounds: patch extent (in image coords) intersect kp +- bound/scale
-        sc = packed.scales[row]
-        lo = (packed.corners[row] + 0.5) / sc
+        sc = packed.scales[rows_all]
+        lo = (packed.corners[rows_all] + 0.5) / sc
         hi = lo + np.array([ps, ps]) / sc
         if bound > 0:
-            lo = np.maximum(lo, kp - bound / sc)
-            hi = np.minimum(hi, kp + bound / sc)
-        lower[p, k] = lo
-        upper[p, k] = hi
+            lo = np.maximum(lo, kp_all - bound / sc)
+            hi = np.minimum(hi, kp_all + bound / sc)
+        lower[p_arr, k_arr] = lo
+        upper[p_arr, k_arr] = hi
 
     edge_i = np.zeros((P, E), np.int32)
     edge_j = np.zeros((P, E), np.int32)

@@ -50,7 +50,18 @@ class LMOptions:
     # on TPU for N~100; LM's accept/reject still guards descent. "auto"
     # picks cg for N >= 48 and cholesky for small systems.
     linear_solver: str = "auto"
-    cg_iterations: int = 25
+    # 15 diagonal-preconditioned CG steps reach the same final KA cost as the
+    # exact Cholesky solve on the bench workload (inexact steps are guarded
+    # by LM acceptance); CG is latency-bound on TPU so fewer steps are a
+    # direct win.
+    cg_iterations: int = 15
+    # CG preconditioner block size: 1 = diagonal Jacobi; b > 1 (with N % b
+    # == 0) = block-Jacobi over b x b diagonal blocks, inverted in closed
+    # form / by small Cholesky. KA parameters are (x, y) pairs, so b=2
+    # captures df/dx-df/dy cross-curvature when feature gradients are
+    # anisotropic (no measured benefit on the synthetic bench; kept as a
+    # config knob).
+    cg_block_size: int = 1
 
     @classmethod
     def from_solver_conf(cls, conf) -> "LMOptions":
@@ -67,7 +78,8 @@ class LMOptions:
             nonmonotonic_window=int(
                 get("max_consecutive_nonmonotonic_steps", 10) or 10),
             linear_solver=str(get("linear_solver", "auto") or "auto"),
-            cg_iterations=int(get("cg_iterations", 25) or 25),
+            cg_iterations=int(get("cg_iterations", 15) or 15),
+            cg_block_size=int(get("cg_block_size", 1) or 1),
         )
 
 
@@ -113,16 +125,51 @@ def _masked_solve(H, g, lam, param_mask, opts: LMOptions):
     if solver == "auto":
         solver = "cg" if N >= 48 else "cholesky"
     if solver == "cg":
-        # Jacobi-preconditioned CG: inexact but ~2x faster than the batched
-        # Cholesky on TPU at N~100; LM acceptance guards descent.
-        Dinv = 1.0 / jnp.clip(jnp.diagonal(Hd, axis1=1, axis2=2), 1e-12, None)
+        # (block-)Jacobi-preconditioned CG: inexact but ~2x faster than the
+        # batched Cholesky on TPU at N~100; LM acceptance guards descent.
+        bs = int(opts.cg_block_size)
+        if bs > 1 and N % bs == 0:
+            nb = N // bs
+            # diagonal b x b blocks of Hd -> [P, nb, bs, bs]
+            blocks = jnp.diagonal(Hd.reshape(P, nb, bs, nb, bs),
+                                  axis1=1, axis2=3)        # [P, bs, bs, nb]
+            blocks = jnp.moveaxis(blocks, -1, 1)           # [P, nb, bs, bs]
+            if bs == 2:
+                a = blocks[..., 0, 0]
+                b = blocks[..., 0, 1]
+                cl = blocks[..., 1, 0]
+                d = blocks[..., 1, 1]
+                det = jnp.maximum(a * d - b * cl, 1e-24)
+                inv = jnp.stack([
+                    jnp.stack([d, -b], axis=-1),
+                    jnp.stack([-cl, a], axis=-1)], axis=-2) / det[..., None,
+                                                                 None]
+            else:
+                eye_b = jnp.eye(bs, dtype=Hd.dtype)
+                Lb = jax.lax.linalg.cholesky(
+                    blocks + 1e-12 * eye_b)
+                inv = jax.lax.linalg.triangular_solve(
+                    Lb, jnp.broadcast_to(eye_b, blocks.shape),
+                    left_side=True, lower=True)
+                inv = jax.lax.linalg.triangular_solve(
+                    Lb, inv, left_side=True, lower=True, transpose_a=True)
+
+            def prec(v):
+                vb = v.reshape(P, nb, bs)
+                return jnp.einsum("pnab,pnb->pna", inv, vb).reshape(P, N)
+        else:
+            Dinv = 1.0 / jnp.clip(jnp.diagonal(Hd, axis1=1, axis2=2),
+                                  1e-12, None)
+
+            def prec(v):
+                return Dinv * v
 
         def mv(v):
             return jnp.einsum("pij,pj->pi", Hd, v)
 
         x = jnp.zeros_like(g)
         r = -g
-        z = Dinv * r
+        z = prec(r)
         p = z
         rz = jnp.sum(r * z, axis=1)
 
@@ -132,7 +179,7 @@ def _masked_solve(H, g, lam, param_mask, opts: LMOptions):
             alpha = rz / jnp.maximum(jnp.sum(p * Ap, axis=1), 1e-30)
             x = x + alpha[:, None] * p
             r = r - alpha[:, None] * Ap
-            z = Dinv * r
+            z = prec(r)
             rz_new = jnp.sum(r * z, axis=1)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             p = z + beta[:, None] * p
