@@ -97,7 +97,7 @@ def main():
           f"({gb/t:6.1f} GB/s eff)", flush=True)
 
     # (b) Pallas: per-query contiguous 4-row DMA ([4*W*C] = 16 KB each)
-    B = 512  # queries per grid step; 2-deep pipeline across steps
+    B = 192  # queries per grid step; 2 slots x 192 sems fit sflag memory
 
     def make_kernel(window_cols):
         W = ps
@@ -112,15 +112,9 @@ def main():
 
                 def start_one(i, _):
                     r0 = rstart_ref[base + i]
-                    if window_cols:
-                        c0 = cstart_ref[base + i]
-                        cp = pltpu.make_async_copy(
-                            hbm_ref.at[pl.ds(r0, 4), pl.ds(c0, cw), :],
-                            scratch.at[slot, i], sem.at[slot, i])
-                    else:
-                        cp = pltpu.make_async_copy(
-                            hbm_ref.at[pl.ds(r0, 4)],
-                            scratch.at[slot, i], sem.at[slot, i])
+                    cp = pltpu.make_async_copy(
+                        hbm_ref.at[pl.ds(r0, 4)],
+                        scratch.at[slot, i], sem.at[slot, i])
                     cp.start()
                     return 0
 
@@ -172,14 +166,17 @@ def main():
                 grid_spec=grid_spec)
 
             def body(i, acc):
-                return acc + call(rstart, cstart, rowsv)
+                # data-dependence on acc so XLA cannot hoist the (otherwise
+                # loop-invariant) kernel call out of the timing loop
+                bump = jnp.where(acc[0, 0] > 1e30, 1, 0).astype(jnp.int32)
+                return acc + call(rstart + bump, cstart, rowsv)
 
             return jax.lax.fori_loop(0, LOOP, body,
                                      jnp.zeros((N, C), jnp.float32))
 
         return run
 
-    for cols, label in [(0, "4-row (16KB)"), (4, "4x4 (2KB)")]:
+    for cols, label in [(0, "4-row (16KB)")]:
         try:
             run = pallas_dma(cols)
             t = timeit(run, rstart, cstart, rowsv)

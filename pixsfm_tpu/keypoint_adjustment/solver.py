@@ -248,7 +248,7 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
 
 def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
                    K: int, use_pallas: bool = False, pregathered: bool = False,
-                   rows_spec=None):
+                   rows_spec=None, kp_free_mask=None):
     """Return (system_fn, cost_fn) factories closing over static config.
 
     The returned functions take the padded problem arrays explicitly so a single
@@ -298,6 +298,13 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
             patches = all_patches[patch_row]      # [P, K, ps, ps, C] gather
             f, dfdx, dfdy = _eval_keypoints(patches, kp, corner, scale, ups,
                                             interp)
+        if kp_free_mask is not None:
+            # zero the frozen keypoints' Jacobians at assembly: their H
+            # rows/cols and g entries vanish exactly, so the LM solver can
+            # skip its [P, N, N] mask passes (assume_masked_system)
+            mfree = kp_free_mask.astype(f.dtype)[..., None]
+            dfdx = dfdx * mfree
+            dfdy = dfdy * mfree
         Delta = _delta_edges(edge_i, edge_j)
         r = jnp.einsum("pek,pkc->pec", Delta, f)    # f_i - f_j, [P, E, C]
         s = jnp.sum(r * r, axis=-1)                 # [P, E]
@@ -565,13 +572,17 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
                                  nodes=[list(n) for n in interp_key[3]])
     loss = RobustLoss(loss_key[0], list(loss_key[1]), scale=loss_key[2])
 
+    from dataclasses import replace as _dc_replace
+    masked_opts = _dc_replace(lm_opts, assume_masked_system=True)
+
     @jax.jit
     def run_chunk(all_patches, x0, data, kp_free, lower, upper, pmask):
         window_ok = (interp.mode in ("BICUBIC", "CERES_BICUBIC")
                      and not interp.ncc_normalize)
         if use_pallas:
             system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K,
-                                                use_pallas=True)
+                                                use_pallas=True,
+                                                kp_free_mask=kp_free)
         elif window_ok:
             # flat row view of the PACKED array, materialized ONCE before the
             # LM while_loop (the reshape is a physical tile-layout copy; the
@@ -580,20 +591,23 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
             n, ps, _, C = all_patches.shape
             rows = all_patches.reshape(n * ps, ps, C)  # free bitcast
             system_fn, cost_fn = make_ka_system(None, interp, loss, K,
-                                                rows_spec=(rows, ps, C))
+                                                rows_spec=(rows, ps, C),
+                                                kp_free_mask=kp_free)
         else:
             # hoist the [P,K,ps,ps,C] patch gather out of the LM while_loop:
             # it is loop-invariant and otherwise re-reads HBM twice/iteration
             patches_pk = all_patches[data[0]]
             system_fn, cost_fn = make_ka_system(patches_pk, interp, loss, K,
-                                                pregathered=True)
+                                                pregathered=True,
+                                                kp_free_mask=kp_free)
         sysf = lambda x: system_fn(x, data)
         costf = lambda x: cost_fn(x, data)
         mask = jnp.repeat(kp_free, 2, axis=1)
         x, summary = lm_solve(sysf, costf, x0, param_mask=mask,
                               problem_mask=pmask,
                               lower=lower.reshape(x0.shape),
-                              upper=upper.reshape(x0.shape), opts=lm_opts)
+                              upper=upper.reshape(x0.shape),
+                              opts=masked_opts)
         return x, summary
 
     return run_chunk

@@ -62,6 +62,16 @@ class LMOptions:
     # anisotropic (no measured benefit on the synthetic bench; kept as a
     # config knob).
     cg_block_size: int = 1
+    # "pallas": VMEM-resident CG kernel (ops/cg_pallas.py) — useful when the
+    # [P, N, N] Hessian batch exceeds VMEM so the XLA scan re-reads it from
+    # HBM every CG step; at bench shapes (4.7 MB) XLA already keeps it
+    # VMEM-resident and the kernel measured ~7% slower, so "auto" = "xla".
+    cg_backend: str = "auto"
+    # Caller guarantees system_fn already zeroes frozen parameters' Hessian
+    # rows/cols and gradient entries (e.g. by masking the per-parameter
+    # Jacobians at assembly). Skips the [P, N, N] mask outer-product work in
+    # every solve — only the diagonal still gets the frozen-row identity.
+    assume_masked_system: bool = False
 
     @classmethod
     def from_solver_conf(cls, conf) -> "LMOptions":
@@ -80,6 +90,7 @@ class LMOptions:
             linear_solver=str(get("linear_solver", "auto") or "auto"),
             cg_iterations=int(get("cg_iterations", 15) or 15),
             cg_block_size=int(get("cg_block_size", 1) or 1),
+            cg_backend=str(get("cg_backend", "auto") or "auto"),
         )
 
 
@@ -112,15 +123,26 @@ def _masked_solve(H, g, lam, param_mask, opts: LMOptions):
     """
     P, N = g.shape
     m = param_mask.astype(H.dtype)
-    mm = m[:, :, None] * m[:, None, :]
-    H = H * mm
-    D = jnp.clip(jnp.diagonal(H, axis1=1, axis2=2),
-                 opts.min_diagonal, opts.max_diagonal)
-    Hd = H + jax.vmap(jnp.diag)(lam[:, None] * D)
-    # frozen/padded rows -> identity so the solve stays well-posed
-    eye = jnp.eye(N, dtype=H.dtype)
-    Hd = Hd + (1.0 - mm) * eye[None]
-    g = g * m
+    damp = None
+    if opts.assume_masked_system:
+        # frozen rows/cols are already zero: only damp + put 1 on frozen
+        # diagonal entries. The CG path folds the damping diagonal into the
+        # matvec and never materializes Hd (saves a [P, N, N] pass per LM
+        # iteration); the Cholesky path builds it explicitly below.
+        D = jnp.clip(jnp.diagonal(H, axis1=1, axis2=2),
+                     opts.min_diagonal, opts.max_diagonal)
+        damp = lam[:, None] * D * m + (1.0 - m)            # [P, N]
+        Hd = None
+    else:
+        mm = m[:, :, None] * m[:, None, :]
+        H = H * mm
+        D = jnp.clip(jnp.diagonal(H, axis1=1, axis2=2),
+                     opts.min_diagonal, opts.max_diagonal)
+        Hd = H + jax.vmap(jnp.diag)(lam[:, None] * D)
+        # frozen/padded rows -> identity so the solve stays well-posed
+        eye = jnp.eye(N, dtype=H.dtype)
+        Hd = Hd + (1.0 - mm) * eye[None]
+        g = g * m
     solver = opts.linear_solver
     if solver == "auto":
         solver = "cg" if N >= 48 else "cholesky"
@@ -129,6 +151,8 @@ def _masked_solve(H, g, lam, param_mask, opts: LMOptions):
         # batched Cholesky on TPU at N~100; LM acceptance guards descent.
         bs = int(opts.cg_block_size)
         if bs > 1 and N % bs == 0:
+            if Hd is None:
+                Hd = H + jax.vmap(jnp.diag)(damp)
             nb = N // bs
             # diagonal b x b blocks of Hd -> [P, nb, bs, bs]
             blocks = jnp.diagonal(Hd.reshape(P, nb, bs, nb, bs),
@@ -158,14 +182,28 @@ def _masked_solve(H, g, lam, param_mask, opts: LMOptions):
                 vb = v.reshape(P, nb, bs)
                 return jnp.einsum("pnab,pnb->pna", inv, vb).reshape(P, N)
         else:
-            Dinv = 1.0 / jnp.clip(jnp.diagonal(Hd, axis1=1, axis2=2),
-                                  1e-12, None)
+            if Hd is None:
+                diag_hd = jnp.diagonal(H, axis1=1, axis2=2) + damp
+            else:
+                diag_hd = jnp.diagonal(Hd, axis1=1, axis2=2)
+            Dinv = 1.0 / jnp.clip(diag_hd, 1e-12, None)
+            if opts.cg_backend == "pallas":
+                from .cg_pallas import pcg_solve_pallas
+                dx = pcg_solve_pallas(
+                    H + jax.vmap(jnp.diag)(damp) if Hd is None else Hd,
+                    g, Dinv, iters=int(opts.cg_iterations))
+                return dx * m, D
 
             def prec(v):
                 return Dinv * v
 
-        def mv(v):
-            return jnp.einsum("pij,pj->pi", Hd, v)
+        if Hd is None:
+            # damping folded into the matvec: H itself is never copied
+            def mv(v):
+                return jnp.einsum("pij,pj->pi", H, v) + damp * v
+        else:
+            def mv(v):
+                return jnp.einsum("pij,pj->pi", Hd, v)
 
         x = jnp.zeros_like(g)
         r = -g
@@ -190,6 +228,8 @@ def _masked_solve(H, g, lam, param_mask, opts: LMOptions):
         return dx * m, D
     # damped GN Hessians are SPD: batched Cholesky is ~2x faster than LU on
     # TPU (jnp.linalg.solve lowers to LU with pivoting)
+    if Hd is None:
+        Hd = H + jax.vmap(jnp.diag)(damp)
     L = jax.lax.linalg.cholesky(Hd)
     y = jax.lax.linalg.triangular_solve(L, -g[..., None], left_side=True,
                                         lower=True)
