@@ -220,13 +220,16 @@ class BundleAdjuster:
                 [a, np.full((n - len(a),) + a.shape[1:], fill, a.dtype)])
 
         # solver-by-size switch (reference bundle_optimizer.h:180-191): dense
-        # Schur for small camera systems, matrix-free PCG beyond. The dense
-        # pair reduction is chunked (BAOptions.pair_chunk) so memory stays
-        # bounded; very long pair lists still favor CG for compute.
+        # Schur for small camera systems, matrix-free PCG beyond. Measured on
+        # v5e (80k obs / 3.2M pairs): the dense pair reduction costs ~1s per
+        # million pairs per LM iteration while the inexact-Newton CG path
+        # (loose forcing tolerance, one-hot segment reductions) costs ~23ms
+        # and reaches the same final cost — so dense only pays off for small
+        # pair lists where its exact steps can save LM iterations.
         M = 6 * len(packed.image_ids) + packed.cams.size
         track_lens = np.bincount(packed.obs_pt, minlength=max(Np, 1))
         n_pairs = int(np.sum(track_lens.astype(np.int64) ** 2))
-        if opts.linear_solver == "dense" and (M > 1500 or n_pairs > 2_000_000):
+        if opts.linear_solver == "dense" and (M > 1500 or n_pairs > 200_000):
             import dataclasses
             opts = dataclasses.replace(opts, linear_solver="cg")
         if opts.linear_solver == "cg":

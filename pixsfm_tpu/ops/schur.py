@@ -68,6 +68,11 @@ class BAOptions:
     # large-scene regime, bundle_optimizer.h:180-191).
     linear_solver: str = "dense"
     max_linear_solver_iterations: int = 100
+    # inexact-Newton forcing tolerance for the CG path (relative residual).
+    # Ceres' ITERATIVE_SCHUR solves the linear system loosely (eta ~ 0.1)
+    # and lets the trust region guard descent; a tight tolerance wastes CG
+    # iterations on directions LM will re-damp anyway.
+    linear_solver_tol: float = 0.1
 
     @classmethod
     def from_solver_conf(cls, conf, **overrides) -> "BAOptions":
@@ -85,6 +90,7 @@ class BAOptions:
                 get("max_consecutive_nonmonotonic_steps", 10) or 10),
             max_linear_solver_iterations=int(
                 get("max_linear_solver_iterations", 100) or 100),
+            linear_solver_tol=float(get("linear_solver_tol", 0.1) or 0.1),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -146,6 +152,35 @@ def make_pair_list(pt_idx: np.ndarray, n_points: int
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     return (np.concatenate(o1).astype(np.int32),
             np.concatenate(o2).astype(np.int32))
+
+
+# one-hot segment-sum budget: S targets x n items. XLA fuses the index
+# comparison into the matmul operands (the one-hot never materializes in
+# HBM), so the cost is the [S, n] x [n, d] MXU pass. Measured on v5e:
+# scatter-add of an 8192-chunk is ~370us regardless of S; the one-hot
+# matmul is ~0-20us for S<=2000 and ~190us at S=20000.
+_ONEHOT_BUDGET = 1 << 28
+
+
+def _segment_matmul(idx, S: int, vals):
+    """sum of vals[i] into segment idx[i] via a fused one-hot matmul.
+
+    idx [n] int32, vals [n, ...] -> [S, ...]. Caller checks _ONEHOT_BUDGET.
+    """
+    n = vals.shape[0]
+    oh = (idx[None, :] == jnp.arange(S, dtype=jnp.int32)[:, None]
+          ).astype(vals.dtype)
+    flat = vals.reshape(n, -1)
+    out = jnp.dot(oh, flat, preferred_element_type=jnp.float32)
+    return out.reshape((S,) + vals.shape[1:])
+
+
+def _segment_sum(idx, S: int, vals):
+    """Segment reduction: fused one-hot matmul when affordable, else scatter."""
+    n = vals.shape[0]
+    if S * n <= _ONEHOT_BUDGET:
+        return _segment_matmul(idx, S, vals)
+    return jnp.zeros((S,) + vals.shape[1:], vals.dtype).at[idx].add(vals)
 
 
 def _inv3x3(A):
@@ -269,66 +304,90 @@ def ba_solve(residual_fn: Callable,
             s = jnp.sum(r * r, axis=-1)
             cost_c = 0.5 * jnp.sum(vm * loss(s))
             out = dict(cost=carry["cost"] + cost_c)
-            if with_jac:
-                w = (vm * loss.weight(s))[:, None, None]
-                img = obs.img_idx[ois]
-                cam = obs.cam_idx[ois]
-                pt = obs.pt_idx[ois]
-                Jcam = J[:, :, :NR]              # pose (+src pose) + cam rows
-                Jp = J[:, :, :6]
-                Jc = J[:, :, PB:PB + k]
-                Jx = J[:, :, PB + k:]
-                wJp = w * Jp
-                out["Hpp"] = carry["Hpp"].at[img].add(
-                    jnp.einsum("oca,ocb->oab", wJp, Jp))
-                out["Hcc"] = carry["Hcc"].at[cam].add(
-                    jnp.einsum("oca,ocb->oab", w * Jc, Jc))
-                out["V"] = carry["V"].at[pt].add(
-                    jnp.einsum("oca,ocb->oab", w * Jx, Jx))
-                out["gp"] = carry["gp"].at[img].add(
-                    jnp.einsum("oca,oc->oa", wJp, r))
-                out["gc"] = carry["gc"].at[cam].add(
-                    jnp.einsum("oca,oc->oa", w * Jc, r))
-                out["gx"] = carry["gx"].at[pt].add(
-                    jnp.einsum("oca,oc->oa", w * Jx, r))
-                # per-obs W blocks for the Schur pair reduction (small:
-                # [O,NR,3]). .add, not .set: padded slots wrap to real
-                # indices with w=0.
-                Bblk = jnp.einsum("oca,ocb->oab", w * Jcam, Jx)
-                out["B"] = carry["B"].at[ois].add(Bblk)
-                if has_src:
-                    src = obs.src_idx[ois]
-                    Js = J[:, :, 6:12]
-                    out["Hpp"] = out["Hpp"].at[src].add(
-                        jnp.einsum("oca,ocb->oab", w * Js, Js))
-                    out["gp"] = out["gp"].at[src].add(
-                        jnp.einsum("oca,oc->oa", w * Js, r))
-                    # full per-obs camera-side block: carries every
-                    # img<->src<->intrinsics cross term
-                    out["Aob"] = carry["Aob"].at[ois].add(
-                        jnp.einsum("oca,ocb->oab", w * Jcam, Jcam))
-                else:
-                    out["Hpc"] = carry["Hpc"].at[img].add(
-                        jnp.einsum("oca,ocb->oab", wJp, Jc))
-            return out, None
+            if not with_jac:
+                return out, None
+            # all segment reductions below are fused one-hot matmuls (or
+            # scatter above the budget) — the XLA scatter-add alternative
+            # costs ~370us per chunk on TPU (examples/bench_scatter.py)
+            w = (vm * loss.weight(s))[:, None, None]
+            img = obs.img_idx[ois]
+            cam = obs.cam_idx[ois]
+            pt = obs.pt_idx[ois]
+            Jcam = J[:, :, :NR]              # pose (+src pose) + cam rows
+            Jp = J[:, :, :6]
+            Jc = J[:, :, PB:PB + k]
+            Jx = J[:, :, PB + k:]
+            wJp = w * Jp
+            n = ois.shape[0]
+            # concatenate each target's reductions so the fused one-hot is
+            # generated once per (chunk, target-kind), not once per array
+            img_cat = [jnp.einsum("oca,ocb->oab", wJp, Jp).reshape(n, 36),
+                       jnp.einsum("oca,oc->oa", wJp, r)]
+            if not has_src:
+                img_cat.append(
+                    jnp.einsum("oca,ocb->oab", wJp, Jc).reshape(n, 6 * k))
+            out["img_acc"] = carry["img_acc"] + _segment_sum(
+                img, I, jnp.concatenate(img_cat, axis=1))
+            out["cam_acc"] = carry["cam_acc"] + _segment_sum(
+                cam, Nc, jnp.concatenate(
+                    [jnp.einsum("oca,ocb->oab", w * Jc, Jc)
+                     .reshape(n, k * k),
+                     jnp.einsum("oca,oc->oa", w * Jc, r)], axis=1))
+            out["pt_acc"] = carry["pt_acc"] + _segment_sum(
+                pt, Np, jnp.concatenate(
+                    [jnp.einsum("oca,ocb->oab", w * Jx, Jx).reshape(n, 9),
+                     jnp.einsum("oca,oc->oa", w * Jx, r)], axis=1))
+            # per-obs W blocks for the Schur pair reduction (small:
+            # [O,NR,3]) are emitted as stacked scan outputs — chunks are
+            # consecutive index ranges, so no scatter is needed (padded
+            # tail rows carry w=0 and are sliced off after the scan).
+            ys = dict(B=jnp.einsum("oca,ocb->oab", w * Jcam, Jx))
+            if has_src:
+                src = obs.src_idx[ois]
+                Js = J[:, :, 6:12]
+                out["src_acc"] = carry["src_acc"] + _segment_sum(
+                    src, I, jnp.concatenate(
+                        [jnp.einsum("oca,ocb->oab", w * Js, Js)
+                         .reshape(n, 36),
+                         jnp.einsum("oca,oc->oa", w * Js, r)], axis=1))
+                # full per-obs camera-side block: carries every
+                # img<->src<->intrinsics cross term
+                ys["Aob"] = jnp.einsum("oca,ocb->oab", w * Jcam, Jcam)
+            return out, ys
 
         carry = dict(cost=jnp.asarray(0.0, jnp.float32))
         if with_jac:
+            img_d = 42 if has_src else 42 + 6 * k
             carry.update(
-                Hpp=jnp.zeros((I, 6, 6), jnp.float32),
-                Hcc=jnp.zeros((Nc, k, k), jnp.float32),
-                V=jnp.zeros((Np, 3, 3), jnp.float32),
-                gp=jnp.zeros((I, 6), jnp.float32),
-                gc=jnp.zeros((Nc, k), jnp.float32),
-                gx=jnp.zeros((Np, 3), jnp.float32),
-                B=jnp.zeros((O, NR, 3), jnp.float32),
+                img_acc=jnp.zeros((I, img_d), jnp.float32),
+                cam_acc=jnp.zeros((Nc, k * k + k), jnp.float32),
+                pt_acc=jnp.zeros((Np, 12), jnp.float32),
             )
             if has_src:
-                carry["Aob"] = jnp.zeros((O, NR, NR), jnp.float32)
-            else:
-                carry["Hpc"] = jnp.zeros((I, 6, k), jnp.float32)
-        carry, _ = jax.lax.scan(chunk_fn, carry,
-                                (ochunks, vmask))
+                carry["src_acc"] = jnp.zeros((I, 42), jnp.float32)
+        carry, ys = jax.lax.scan(chunk_fn, carry,
+                                 (ochunks, vmask))
+        if not with_jac:
+            return carry
+        # split the concatenated per-target accumulators back into blocks
+        img_acc = carry.pop("img_acc")
+        cam_acc = carry.pop("cam_acc")
+        pt_acc = carry.pop("pt_acc")
+        carry["Hpp"] = img_acc[:, :36].reshape(I, 6, 6)
+        carry["gp"] = img_acc[:, 36:42]
+        if has_src:
+            src_acc = carry.pop("src_acc")
+            carry["Hpp"] = carry["Hpp"] + src_acc[:, :36].reshape(I, 6, 6)
+            carry["gp"] = carry["gp"] + src_acc[:, 36:42]
+        else:
+            carry["Hpc"] = img_acc[:, 42:].reshape(I, 6, k)
+        carry["Hcc"] = cam_acc[:, :k * k].reshape(Nc, k, k)
+        carry["gc"] = cam_acc[:, k * k:]
+        carry["V"] = pt_acc[:, :9].reshape(Np, 3, 3)
+        carry["gx"] = pt_acc[:, 9:]
+        carry["B"] = ys["B"].reshape(pad_O, NR, 3)[:O]
+        if has_src:
+            carry["Aob"] = ys["Aob"].reshape(pad_O, NR, NR)[:O]
         return carry
 
     def cost_at(state: BAState):
@@ -407,13 +466,12 @@ def ba_solve(residual_fn: Callable,
                                         vc[obs.cam_idx]], axis=1)
 
             def scatter_rows(u_o, sign=1.0):
-                """Scatter per-obs camera-side rows back to (vp, vc)."""
-                up = jnp.zeros((I, 6), jnp.float32).at[obs.img_idx].add(
-                    sign * u_o[:, :6])
+                """Reduce per-obs camera-side rows back to (vp, vc)."""
+                up = _segment_sum(obs.img_idx, I, sign * u_o[:, :6])
                 if has_src:
-                    up = up.at[obs.src_idx].add(sign * u_o[:, 6:12])
-                uc = jnp.zeros((Nc, k), jnp.float32).at[obs.cam_idx].add(
-                    sign * u_o[:, PB:])
+                    up = up + _segment_sum(obs.src_idx, I,
+                                           sign * u_o[:, 6:12])
+                uc = _segment_sum(obs.cam_idx, Nc, sign * u_o[:, PB:])
                 return up, uc
 
             if has_src:
@@ -439,12 +497,13 @@ def ba_solve(residual_fn: Callable,
                     avp = jnp.einsum("iab,ib->ia", Hpp_d, vp) \
                         + jnp.einsum("iak,ik->ia", Hpc, vc[obs_cam_of_img])
                     avc = jnp.einsum("cab,cb->ca", Hcc_d, vc)
-                    avc = avc + jnp.zeros_like(avc).at[obs_cam_of_img].add(
+                    avc = avc + _segment_sum(
+                        obs_cam_of_img, Nc,
                         jnp.einsum("iak,ia->ik", Hpc, vp))
                 # W^T v per obs -> per point
                 s_o = jnp.einsum("oa,oab->ob", gather_rows(vp, vc),
                                  B)               # [O, 3]
-                t_p = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(s_o)
+                t_p = _segment_sum(obs.pt_idx, Np, s_o)
                 w_p = jnp.einsum("pab,pb->pa", Vinv, t_p)
                 u_o = jnp.einsum("oab,ob->oa", B, w_p[obs.pt_idx])  # [O,NR]
                 up, uc = scatter_rows(u_o)
@@ -469,11 +528,13 @@ def ba_solve(residual_fn: Callable,
             from jax.scipy.sparse.linalg import cg as _cg
             (dp_neg, dc_neg), _ = _cg(
                 s_matvec, (rp, rc), M=precond,
-                maxiter=opts.max_linear_solver_iterations, tol=1e-8)
+                maxiter=opts.max_linear_solver_iterations,
+                tol=opts.linear_solver_tol)
             d_pose = -dp_neg * pose_mask6.astype(jnp.float32)
             d_cam = -dc_neg * cam_mask.astype(jnp.float32)
 
-            t = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(
+            t = _segment_sum(
+                obs.pt_idx, Np,
                 jnp.einsum("oab,oa->ob", B, gather_rows(d_pose, d_cam)))
             d_xyz = -jnp.einsum("pab,pb->pa", Vinv, gx + t) * pt_mask
 
@@ -560,7 +621,8 @@ def ba_solve(residual_fn: Callable,
         corr = jnp.einsum("oab,ob->oa",
                           jnp.einsum("oab,obc->oac", B,
                                      Vinv[obs.pt_idx]), gx[obs.pt_idx])
-        rhs = g_cam_full - jnp.zeros((M,), jnp.float32).at[obs_rows].add(corr)
+        rhs = g_cam_full - _segment_sum(obs_rows.reshape(-1), M,
+                                        corr.reshape(-1))
 
         # Jacobi-scaled solve: BA camera systems are badly conditioned at pixel
         # scale; symmetric diagonal scaling keeps the f32 Cholesky accurate.
@@ -579,8 +641,8 @@ def ba_solve(residual_fn: Callable,
 
         # back-substitute points: dx = -Vinv (gx + sum_obs B^T dcam_of_obs)
         dcam_obs = dc_full[obs_rows]                             # [O, NR]
-        t = jnp.zeros((Np, 3), jnp.float32).at[obs.pt_idx].add(
-            jnp.einsum("oab,oa->ob", B, dcam_obs))
+        t = _segment_sum(obs.pt_idx, Np,
+                         jnp.einsum("oab,oa->ob", B, dcam_obs))
         d_xyz = -jnp.einsum("pab,pb->pa", Vinv, gx + t)
         d_xyz = d_xyz * pt_mask
 
