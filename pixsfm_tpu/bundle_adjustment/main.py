@@ -96,8 +96,8 @@ def _build_feature_reference(model, interp_key):
         patches, corners, scales, ups = ctx
         xy = _safe_project(model, cam, qvec, tvec, X)
         pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
-        from ..base.interpolation import interpolate
-        f = interpolate(patches[row], pc[1], pc[0], interp)
+        from ..base.interpolation import interpolate_residual
+        f = interpolate_residual(patches, row, pc[1], pc[0], interp)
         return f - target
     return residual_fn
 
@@ -111,8 +111,8 @@ def _build_costmap(model, interp_key):
         patches, corners, scales, ups = ctx
         xy = _safe_project(model, cam, qvec, tvec, X)
         pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
-        from ..base.interpolation import interpolate
-        return interpolate(patches[row], pc[1], pc[0], interp)
+        from ..base.interpolation import interpolate_residual
+        return interpolate_residual(patches, row, pc[1], pc[0], interp)
     return residual_fn
 
 

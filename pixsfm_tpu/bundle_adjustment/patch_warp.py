@@ -36,6 +36,7 @@ from .. import logger
 from ..base.cameras import cam_from_img, img_from_cam
 from ..base.geometry import apply_pose, quat_conj, quat_normalize, quat_rotate
 from ..base.interpolation import (InterpolationConfig, interpolate,
+                                  interpolate_residual,
                                   ncc_normalize)
 from ..base.losses import make_loss
 from ..features.featuremaps import FeatureView
@@ -146,7 +147,8 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
             x_t = apply_pose(qvec, tvec, Xn)
             xy_t = img_from_cam(model, cam, x_t[:2] / x_t[2])
             pc = (xy_t * scales[row] - 0.5 - corners[row]) * ups[row]
-            return interpolate(patches[row], pc[1], pc[0], interp_single)
+            return interpolate_residual(patches, row, pc[1], pc[0],
+                                        interp_single)
 
         f = jax.vmap(warp_node)(nodes)          # [n_nodes, C]
         if interp.ncc_normalize:

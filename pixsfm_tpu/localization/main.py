@@ -26,7 +26,8 @@ from .. import logger
 from ..base import interpolation_default_conf, solver_default_conf
 from ..base.cameras import Camera
 from ..base.geometry import exp_quat, quat_mul, quat_normalize, quat_to_rotmat
-from ..base.interpolation import InterpolationConfig, interpolate
+from ..base.interpolation import (InterpolationConfig, interpolate,
+                                  interpolate_residual)
 from ..base.losses import make_loss
 from ..base.projection import world_to_pixel
 from ..config import merge
@@ -320,7 +321,8 @@ def _compiled_qba(model: str, interp_key, loss_key, max_iters: int,
             def per_corr(row, corner, scale, up, Xi, tgt, w):
                 xy = world_to_pixel(model, c, q, t, Xi)
                 pc = (xy * scale - 0.5 - corner) * up
-                f = interpolate(patches[row], pc[1], pc[0], interp)
+                f = interpolate_residual(patches, row, pc[1], pc[0],
+                                         interp)
                 r = f[None, :] - tgt
                 s = jnp.sum(r * r, axis=-1)
                 return jnp.sum(w * loss(s))
@@ -390,8 +392,8 @@ def _compiled_patch_warp_qba(model: str, interp_key, loss_key,
                 def node(o):
                     xy = world_to_pixel(model, cam_params, q, t, Xi + o)
                     pc = (xy * scale - 0.5 - corner) * up
-                    return interpolate(patches[row], pc[1], pc[0],
-                                       interp_single)
+                    return interpolate_residual(patches, row, pc[1],
+                                                pc[0], interp_single)
                 f = jax.vmap(node)(off)          # [nodes, C]
                 if ncc:
                     from ..base.interpolation import ncc_normalize
