@@ -229,7 +229,7 @@ class BundleAdjuster:
         M = 6 * len(packed.image_ids) + packed.cams.size
         track_lens = np.bincount(packed.obs_pt, minlength=max(Np, 1))
         n_pairs = int(np.sum(track_lens.astype(np.int64) ** 2))
-        if opts.linear_solver == "dense" and (M > 1500 or n_pairs > 200_000):
+        if opts.linear_solver == "dense" and (M > 1500 or n_pairs > 20_000):
             import dataclasses
             opts = dataclasses.replace(opts, linear_solver="cg")
         if opts.linear_solver == "cg":
