@@ -147,6 +147,10 @@ class KeypointAdjuster:
         "split_in_subproblems": True,
         # device batching: problems solved lock-stepped per chunk
         "problem_chunk_size": 128,
+        # LM segment length between convergence compactions (0 = off):
+        # unconverged problems are re-packed into fresh chunks every this
+        # many iterations so stragglers don't pin whole chunks at the cap
+        "compaction_segment": 25,
     }
 
     def __init__(self, conf=None):
@@ -220,14 +224,22 @@ class KeypointAdjuster:
         kp_refined, summary = solve_ka_problems(
             problems, packed.patches, interp, loss, lm_opts,
             chunk=int(self.conf.get("problem_chunk_size", 128)),
-            use_pallas=bool(self.conf.get("use_pallas_interpolation", False)))
+            use_pallas=bool(self.conf.get("use_pallas_interpolation", False)),
+            compaction_segment=int(self.conf.get("compaction_segment", 25)))
 
-        # write back refined keypoints
+        # write back refined keypoints (vectorized per image)
         image_ids, feature_idxs = graph.nodes_array()
-        for nid in problems.node_ids:
-            p, k = problems.node_problem[nid], problems.node_slot[nid]
-            name = graph.image_id_to_name[int(image_ids[nid])]
-            keypoints_dict[name][int(feature_idxs[nid])] = kp_refined[p, k]
+        ids = np.asarray(problems.node_ids)
+        if len(ids):
+            p_arr = problems.node_problem[ids]
+            k_arr = problems.node_slot[ids]
+            img_arr = np.asarray(image_ids)[ids]
+            fid_arr = np.asarray(feature_idxs)[ids]
+            for iid in np.unique(img_arr):
+                m = img_arr == iid
+                name = graph.image_id_to_name[int(iid)]
+                keypoints_dict[name][fid_arr[m]] = kp_refined[p_arr[m],
+                                                              k_arr[m]]
 
         dt = time.time() - t0
         summary["time"] = dt

@@ -576,7 +576,8 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
     masked_opts = _dc_replace(lm_opts, assume_masked_system=True)
 
     @jax.jit
-    def run_chunk(all_patches, x0, data, kp_free, lower, upper, pmask):
+    def run_chunk(all_patches, x0, data, kp_free, lower, upper, pmask,
+                  lam0=None):
         window_ok = (interp.mode in ("BICUBIC", "CERES_BICUBIC")
                      and not interp.ncc_normalize)
         if use_pallas:
@@ -607,7 +608,7 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
                               problem_mask=pmask,
                               lower=lower.reshape(x0.shape),
                               upper=upper.reshape(x0.shape),
-                              opts=masked_opts)
+                              opts=masked_opts, lam0=lam0)
         return x, summary
 
     return run_chunk
@@ -616,57 +617,90 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
 def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
                       interp: InterpolationConfig, loss: RobustLoss,
                       lm_opts: LMOptions, chunk: int = 128,
-                      use_pallas: bool = False) -> Tuple[np.ndarray, Dict]:
+                      use_pallas: bool = False,
+                      compaction_segment: int = 25) -> Tuple[np.ndarray,
+                                                             Dict]:
     """Run all padded problems through the batched LM, chunked to bound memory.
 
-    Returns refined kp [P, K, 2] and a merged summary dict (the reference merges
-    per-subset Ceres summaries — util/src/statistics.h:14-60).
+    ``compaction_segment > 0`` runs the LM in segments of that many
+    iterations and re-packs only the UNCONVERGED problems between segments
+    (warm-starting their damping) — stragglers no longer hold a whole
+    lock-stepped chunk at the iteration cap while its converged neighbors
+    burn idle FLOPs. The reference gets this for free from its per-problem
+    thread pool (parallel_optimizer.h); this is the batched equivalent.
+
+    Returns refined kp [P, K, 2] and a merged summary dict (the reference
+    merges per-subset Ceres summaries — util/src/statistics.h:14-60).
     """
+    from dataclasses import replace as _dc_replace
+
     P, K, _ = problems.kp0.shape
     all_patches = jnp.asarray(packed_patches)
+
+    seg = int(compaction_segment) if compaction_segment else 0
+    if seg <= 0 or seg >= lm_opts.max_iterations:
+        seg = lm_opts.max_iterations
+    seg_opts = _dc_replace(lm_opts, max_iterations=seg)
     run_chunk_c = _compiled_ka_chunk(
         _interp_key(interp), (loss.name, tuple(loss.params), loss.scale),
-        lm_opts, K, use_pallas)
+        seg_opts, K, use_pallas)
 
-    def run_chunk(x0, data, kp_free, lower, upper, pmask):
-        return run_chunk_c(all_patches, x0, data, kp_free, lower, upper,
-                           pmask)
+    # mutable per-problem state across segments
+    x_cur = problems.kp0.reshape(P, K * 2).astype(np.float32).copy()
+    lam_cur = np.full(P, lm_opts.initial_lambda, np.float32)
+    init_cost = np.zeros(P, np.float32)
+    final_cost = np.zeros(P, np.float32)
+    iters_used = np.zeros(P, np.int32)
+    lower_np = np.nan_to_num(problems.lower, neginf=-1e30).astype(np.float32)
+    upper_np = np.nan_to_num(problems.upper, posinf=1e30).astype(np.float32)
 
-    out = np.zeros_like(problems.kp0)
-    tot = dict(initial_cost=0.0, final_cost=0.0, num_problems=P,
-               iterations=0)
-    n_chunks = int(np.ceil(P / chunk))
-    for ci in range(n_chunks):
-        sl = slice(ci * chunk, min((ci + 1) * chunk, P))
-        n = sl.stop - sl.start
-        pad = chunk - n
+    active = np.arange(P)
+    it_done = 0
+    first_segment = True
+    while len(active) and it_done < lm_opts.max_iterations:
+        still = []
+        n_chunks = int(np.ceil(len(active) / chunk))
+        for ci in range(n_chunks):
+            idx = active[ci * chunk:(ci + 1) * chunk]
+            n = len(idx)
+            pad = chunk - n
 
-        def pad0(a):
-            if pad == 0:
-                return a
-            return np.concatenate([a, np.zeros((pad,) + a.shape[1:],
-                                               a.dtype)], axis=0)
+            def pad0(a, fill=0):
+                if pad == 0:
+                    return a
+                return np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)],
+                    axis=0)
 
-        x0 = pad0(problems.kp0[sl]).reshape(chunk, K * 2)
-        data = tuple(jnp.asarray(pad0(a)) for a in (
-            problems.patch_row[sl], problems.corner[sl], problems.scale[sl],
-            problems.ups[sl], problems.edge_i[sl], problems.edge_j[sl],
-            problems.edge_w[sl]))
-        kp_free = pad0(problems.kp_free[sl]).reshape(chunk, K)
-        lower = pad0(np.nan_to_num(problems.lower[sl], neginf=-1e30))
-        upper = pad0(np.nan_to_num(problems.upper[sl], posinf=1e30))
-        # padded rows get wide-open bounds
-        if pad:
-            lower[n:] = -1e30
-            upper[n:] = 1e30
-        pmask = np.zeros(chunk, bool)
-        pmask[:n] = True
+            x0 = pad0(x_cur[idx]).reshape(chunk, K * 2)
+            data = tuple(jnp.asarray(pad0(a)) for a in (
+                problems.patch_row[idx], problems.corner[idx],
+                problems.scale[idx], problems.ups[idx],
+                problems.edge_i[idx], problems.edge_j[idx],
+                problems.edge_w[idx]))
+            kp_free = pad0(problems.kp_free[idx]).reshape(chunk, K)
+            lower = pad0(lower_np[idx], -1e30)
+            upper = pad0(upper_np[idx], 1e30)
+            pmask = np.zeros(chunk, bool)
+            pmask[:n] = True
 
-        x, summary = run_chunk(jnp.asarray(x0), data, jnp.asarray(kp_free),
-                               jnp.asarray(lower), jnp.asarray(upper),
-                               jnp.asarray(pmask))
-        out[sl] = np.asarray(x).reshape(chunk, K, 2)[:n]
-        tot["initial_cost"] += float(jnp.sum(summary.initial_cost[:n]))
-        tot["final_cost"] += float(jnp.sum(summary.final_cost[:n]))
-        tot["iterations"] += int(jnp.max(summary.iterations))
-    return out, tot
+            x, summary = run_chunk_c(
+                all_patches, jnp.asarray(x0), data, jnp.asarray(kp_free),
+                jnp.asarray(lower), jnp.asarray(upper), jnp.asarray(pmask),
+                jnp.asarray(pad0(lam_cur[idx], lm_opts.initial_lambda)))
+            x_cur[idx] = np.asarray(x).reshape(chunk, K * 2)[:n]
+            lam_cur[idx] = np.asarray(summary.lam)[:n]
+            conv = np.asarray(summary.converged)[:n]
+            if first_segment:
+                init_cost[idx] = np.asarray(summary.initial_cost)[:n]
+            final_cost[idx] = np.asarray(summary.final_cost)[:n]
+            iters_used[idx] += np.asarray(summary.iterations)[:n]
+            still.append(idx[~conv])
+        active = np.concatenate(still) if still else np.zeros(0, np.int64)
+        it_done += seg
+        first_segment = False
+
+    tot = dict(initial_cost=float(init_cost.sum()),
+               final_cost=float(final_cost.sum()),
+               num_problems=P, iterations=int(iters_used.max(initial=0)))
+    return x_cur.reshape(P, K, 2), tot

@@ -114,6 +114,7 @@ class LMSummary(NamedTuple):
     final_cost: jnp.ndarray     # [P]
     iterations: jnp.ndarray     # [P]
     converged: jnp.ndarray      # [P] bool
+    lam: jnp.ndarray            # [P] final damping (warm segment restarts)
 
 
 def _masked_solve(H, g, lam, param_mask, opts: LMOptions):
@@ -245,7 +246,9 @@ def lm_solve(system_fn: Callable,
              problem_mask: Optional[jnp.ndarray] = None,
              lower: Optional[jnp.ndarray] = None,
              upper: Optional[jnp.ndarray] = None,
-             opts: LMOptions = LMOptions()) -> Tuple[jnp.ndarray, LMSummary]:
+             opts: LMOptions = LMOptions(),
+             lam0: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray,
+                                                          LMSummary]:
     """Run batched LM.
 
     system_fn(x) -> (cost [P], H [P, N, N], g [P, N]) robustified normal equations.
@@ -274,11 +277,13 @@ def lm_solve(system_fn: Callable,
     init_done = no_free | ~problem_mask
 
     W = max(int(opts.nonmonotonic_window), 1)
+    if lam0 is None:
+        lam0 = jnp.full((P,), opts.initial_lambda, f32)
     init = LMState(
         x=x0,
         H=H0,
         g=g0,
-        lam=jnp.full((P,), opts.initial_lambda, f32),
+        lam=jnp.asarray(lam0, f32),
         nu=jnp.full((P,), 2.0, f32),
         cost=cost0,
         done=init_done,
@@ -365,5 +370,6 @@ def lm_solve(system_fn: Callable,
     cost_out = jnp.minimum(final.best_cost, final.cost)
     summary = LMSummary(initial_cost=cost0, final_cost=cost_out,
                         iterations=final.iterations,
-                        converged=final.done & problem_mask)
+                        converged=final.done & problem_mask,
+                        lam=final.lam)
     return x_out, summary
