@@ -196,13 +196,20 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
     T = bucket(int(counts.max()) if len(counts) else 1, minimum=2)
     track_desc = np.zeros((len(pids), T, D), np.float32)
     track_valid = np.zeros((len(pids), T), bool)
-    slot = np.zeros(len(pids), np.int64)
+    # slot within track, vectorized: rank of each observation among its
+    # track's observations (stable sort keeps the original order per track)
+    obs_pt = np.asarray(obs_pt)
     obs_slot = np.zeros(len(obs_pt), np.int64)
-    for i, s in enumerate(obs_pt):
-        obs_slot[i] = slot[s]
-        track_desc[s, slot[s]] = desc[i]
-        track_valid[s, slot[s]] = True
-        slot[s] += 1
+    if len(obs_pt):
+        order = np.argsort(obs_pt, kind="stable")
+        sorted_pt = obs_pt[order]
+        new_grp = np.r_[True, sorted_pt[1:] != sorted_pt[:-1]]
+        starts = np.nonzero(new_grp)[0]
+        ranks = np.arange(len(obs_pt)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(obs_pt)]))
+        obs_slot[order] = ranks
+        track_desc[obs_pt, obs_slot] = desc
+        track_valid[obs_pt, obs_slot] = True
 
     run_irls = _compiled_irls((loss.name, tuple(loss.params)), iters,
                               interp.l2_normalize)
