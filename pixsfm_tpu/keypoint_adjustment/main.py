@@ -149,8 +149,10 @@ class KeypointAdjuster:
         "problem_chunk_size": 128,
         # LM segment length between convergence compactions (0 = off):
         # unconverged problems are re-packed into fresh chunks every this
-        # many iterations so stragglers don't pin whole chunks at the cap
-        "compaction_segment": 25,
+        # many iterations so stragglers don't pin whole chunks at the cap.
+        # Worth enabling on local accelerators with early-converging scenes;
+        # costs one dispatch round-trip per chunk per segment.
+        "compaction_segment": 0,
     }
 
     def __init__(self, conf=None):
@@ -225,7 +227,7 @@ class KeypointAdjuster:
             problems, packed.patches, interp, loss, lm_opts,
             chunk=int(self.conf.get("problem_chunk_size", 128)),
             use_pallas=bool(self.conf.get("use_pallas_interpolation", False)),
-            compaction_segment=int(self.conf.get("compaction_segment", 25)))
+            compaction_segment=int(self.conf.get("compaction_segment", 0)))
 
         # write back refined keypoints (vectorized per image)
         image_ids, feature_idxs = graph.nodes_array()

@@ -618,7 +618,7 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
                       interp: InterpolationConfig, loss: RobustLoss,
                       lm_opts: LMOptions, chunk: int = 128,
                       use_pallas: bool = False,
-                      compaction_segment: int = 25) -> Tuple[np.ndarray,
+                      compaction_segment: int = 0) -> Tuple[np.ndarray,
                                                              Dict]:
     """Run all padded problems through the batched LM, chunked to bound memory.
 
@@ -628,6 +628,10 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
     lock-stepped chunk at the iteration cap while its converged neighbors
     burn idle FLOPs. The reference gets this for free from its per-problem
     thread pool (parallel_optimizer.h); this is the batched equivalent.
+    Off by default: it pays one dispatch round-trip per chunk per segment,
+    which only amortizes when dispatch is cheap (local accelerators) and a
+    large fraction of problems converges early — on the remote-tunnel dev
+    setup it measured slower (examples/bench_compaction.py).
 
     Returns refined kp [P, K, 2] and a merged summary dict (the reference
     merges per-subset Ceres summaries — util/src/statistics.h:14-60).
