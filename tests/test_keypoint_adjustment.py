@@ -109,3 +109,26 @@ def test_adjuster_factory():
     assert isinstance(adj, TopologicalReferenceKeypointAdjuster)
     adj = KeypointAdjuster.create(None)
     assert isinstance(adj, FeatureMetricKeypointAdjuster)
+
+
+def test_ka_compaction_matches_plain():
+    """Segmented convergence compaction reaches the same solution as the
+    single-segment solve (warm-restarted damping changes the trajectory,
+    not the optimum)."""
+    field, true_xy, fset, keypoints, matches, names = make_scene(seed=5)
+    graph = build_matching_graph(matches)
+
+    results = {}
+    for seg in (0, 5):
+        kps = {k: v.copy() for k, v in keypoints.items()}
+        adj = FeatureMetricKeypointAdjuster(
+            {"interpolation": {"mode": "BICUBIC", "l2_normalize": True},
+             "compaction_segment": seg})
+        out = adj.refine_multilevel(kps, _Manager(fset), graph)
+        results[seg] = (kps, out["final_cost"][0])
+
+    for n in names:
+        np.testing.assert_allclose(results[0][0][n], results[5][0][n],
+                                   atol=0.05)
+    assert abs(results[0][1] - results[5][1]) < 0.05 * max(results[0][1],
+                                                           1e-6)
