@@ -82,16 +82,29 @@ def main():
     map_scores = {k: scores[k] for k in map_matches}
     graph = build_matching_graph(map_matches, map_scores)
 
+    # photometric refinement shaped like the reference's photometric preset
+    # (configs/photometric.yaml): NCC patch-warp BA over identity features
+    # with constant extrinsics. check_bounds guards the flat-patch runaway
+    # that pointwise 1-channel featuremetric BA exhibits (see
+    # pixsfm_tpu.base.interpolation.bounds_violation).
+    nodes = [[dx, dy] for dy in (-1.5, -0.5, 0.5, 1.5)
+             for dx in (-1.5, -0.5, 0.5, 1.5)]
     conf = load_config(args.config) if args.config else {
         "dense_features": {"model": {"name": "image", "grayscale": True},
                            "l2_normalize": False, "max_edge": args.max_edge,
                            "patch_size": 8, "dtype": "float32"},
-        "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+        "interpolation": {"mode": "BICUBIC", "l2_normalize": False,
+                          "check_bounds": True},
         "mapping": {"KA": {"strategy": "topological_reference",
                            "optimizer": {"bound": 2.0}},
-                    "BA": {"strategy": "feature_reference",
+                    "BA": {"strategy": "patch_warp",
+                           "interpolation": {
+                               "mode": "BICUBIC", "l2_normalize": False,
+                               "ncc_normalize": True, "check_bounds": True,
+                               "nodes": nodes},
                            "optimizer": {"refine_extra_params": False,
-                                         "refine_focal_length": False}}},
+                                         "refine_focal_length": False,
+                                         "refine_extrinsics": False}}},
     }
     sfm = PixSfM(conf)
 

@@ -515,6 +515,29 @@ def _interp_window_cjvp(H: int, W: int, C: int, l2: bool):
     return fn
 
 
+def inbounds_weight(r, c, H: int, W: int):
+    """1.0 inside the patch extent [0, H-1] x [0, W-1], else 0.0."""
+    inside = ((r >= 0.0) & (r <= H - 1.0) & (c >= 0.0) & (c <= W - 1.0))
+    return inside.astype(jnp.float32)
+
+
+def bounds_violation(r, c, H: int, W: int):
+    """Hinge distance (in patch pixels) outside the extent [0, H-1] x
+    [0, W-1]; 0 inside.
+
+    The batched analogue of the reference's ``check_bounds`` semantics
+    (patch_interpolator.h:92-96): there an out-of-bounds evaluation makes
+    the Ceres cost functor fail, which rejects the whole candidate step.
+    A failed evaluation has no XLA equivalent, so solvers append this
+    violation as an extra residual channel instead — any step that pushes a
+    reprojection outside its patch window strictly increases the cost (the
+    clamped-constant border region otherwise has zero gradient and can
+    absorb runaway steps) and is rejected by LM acceptance; small
+    violations get a smooth gradient pulling the point back inside."""
+    return (jnp.maximum(r - (H - 1.0), 0.0) + jnp.maximum(-r, 0.0)
+            + jnp.maximum(c - (W - 1.0), 0.0) + jnp.maximum(-c, 0.0))
+
+
 def interpolate_residual(patches, row, r, c,
                          config: Optional[InterpolationConfig] = None):
     """Interpolation for use INSIDE autodiffed solver residuals.

@@ -96,9 +96,15 @@ def _build_feature_reference(model, interp_key):
         patches, corners, scales, ups = ctx
         xy = _safe_project(model, cam, qvec, tvec, X)
         pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
-        from ..base.interpolation import interpolate_residual
+        from ..base.interpolation import (bounds_violation,
+                                          interpolate_residual)
         f = interpolate_residual(patches, row, pc[1], pc[0], interp)
-        return f - target
+        r = f - target
+        if interp.check_bounds:
+            viol = bounds_violation(pc[1], pc[0], patches.shape[1],
+                                    patches.shape[2])
+            r = jnp.concatenate([r, viol[None]])
+        return r
     return residual_fn
 
 
@@ -111,8 +117,14 @@ def _build_costmap(model, interp_key):
         patches, corners, scales, ups = ctx
         xy = _safe_project(model, cam, qvec, tvec, X)
         pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
-        from ..base.interpolation import interpolate_residual
-        return interpolate_residual(patches, row, pc[1], pc[0], interp)
+        from ..base.interpolation import (bounds_violation,
+                                          interpolate_residual)
+        r = interpolate_residual(patches, row, pc[1], pc[0], interp)
+        if interp.check_bounds:
+            viol = bounds_violation(pc[1], pc[0], patches.shape[1],
+                                    patches.shape[2])
+            r = jnp.concatenate([r, viol[None]])
+        return r
     return residual_fn
 
 

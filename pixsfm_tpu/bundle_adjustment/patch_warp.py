@@ -35,7 +35,8 @@ import numpy as np
 from .. import logger
 from ..base.cameras import cam_from_img, img_from_cam
 from ..base.geometry import apply_pose, quat_conj, quat_normalize, quat_rotate
-from ..base.interpolation import (InterpolationConfig, interpolate,
+from ..base.interpolation import (InterpolationConfig, bounds_violation,
+                                  interpolate,
                                   interpolate_residual,
                                   ncc_normalize)
 from ..base.losses import make_loss
@@ -147,13 +148,22 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
             x_t = apply_pose(qvec, tvec, Xn)
             xy_t = img_from_cam(model, cam, x_t[:2] / x_t[2])
             pc = (xy_t * scales[row] - 0.5 - corners[row]) * ups[row]
-            return interpolate_residual(patches, row, pc[1], pc[0],
-                                        interp_single)
+            f_n = interpolate_residual(patches, row, pc[1], pc[0],
+                                       interp_single)
+            viol = bounds_violation(pc[1], pc[0], patches.shape[1],
+                                    patches.shape[2])
+            return f_n, viol
 
-        f = jax.vmap(warp_node)(nodes)          # [n_nodes, C]
+        f, viol = jax.vmap(warp_node)(nodes)    # [n_nodes, C], [n_nodes]
         if interp.ncc_normalize:
             f = ncc_normalize(f)
         r = f.reshape(-1) - target
+        if interp.check_bounds:
+            # reference semantics: ALL warped nodes must stay inside the
+            # patch (patch_interpolator.h EvaluateNNodes is_inside &= per
+            # node); here the total violation joins the residual so
+            # boundary-crossing steps cost more and get rejected
+            r = jnp.concatenate([r, jnp.sum(viol)[None]])
         return r * v
 
     if joint_src:

@@ -26,7 +26,8 @@ from .. import logger
 from ..base import interpolation_default_conf, solver_default_conf
 from ..base.cameras import Camera
 from ..base.geometry import exp_quat, quat_mul, quat_normalize, quat_to_rotmat
-from ..base.interpolation import (InterpolationConfig, interpolate,
+from ..base.interpolation import (InterpolationConfig,
+                                  bounds_violation, interpolate,
                                   interpolate_residual)
 from ..base.losses import make_loss
 from ..base.projection import world_to_pixel
@@ -325,6 +326,10 @@ def _compiled_qba(model: str, interp_key, loss_key, max_iters: int,
                                          interp)
                 r = f[None, :] - tgt
                 s = jnp.sum(r * r, axis=-1)
+                if interp.check_bounds:
+                    viol = bounds_violation(pc[1], pc[0], patches.shape[1],
+                                            patches.shape[2])
+                    s = s + viol * viol
                 return jnp.sum(w * loss(s))
 
             costs = jax.vmap(per_corr)(rows, corners, scales, ups, X,

@@ -38,11 +38,14 @@ def bucket(n: int, minimum: int = 8) -> int:
 
 def interp_static_key(interp) -> Tuple:
     return (interp.mode, interp.l2_normalize, interp.ncc_normalize,
-            tuple(tuple(x) for x in interp.nodes))
+            tuple(tuple(x) for x in interp.nodes),
+            bool(getattr(interp, "check_bounds", False)))
 
 
 def interp_from_key(key):
     from ..base.interpolation import InterpolationConfig
     return InterpolationConfig(mode=key[0], l2_normalize=key[1],
                                ncc_normalize=key[2],
-                               nodes=[list(n) for n in key[3]])
+                               nodes=[list(n) for n in key[3]],
+                               check_bounds=bool(key[4])
+                               if len(key) > 4 else False)

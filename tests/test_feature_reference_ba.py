@@ -101,3 +101,52 @@ def test_feature_reference_ba_aligns_tracks(rng):
     assert out["final_cost"] < out["initial_cost"] * 0.2
     assert spread_after < spread_before * 0.4, \
         f"{spread_before} -> {spread_after}"
+
+
+def test_check_bounds_stops_flat_patch_runaway():
+    """Pointwise featuremetric BA on near-flat patches drifts points into the
+    clamped border region (zero gradient) unless check_bounds adds the
+    boundary barrier (reference semantics: failed evaluation rejects the
+    step, patch_interpolator.h:92-96)."""
+    import jax.numpy as jnp
+
+    from pixsfm_tpu.bundle_adjustment import BundleAdjuster
+    from pixsfm_tpu.features.featuremaps import FeatureMap, FeatureSet
+
+    rec = synth(n_images=3, n_points=25, noise_px=0.0, seed=3)
+    rng = np.random.default_rng(0)
+    ps, C = 8, 1
+
+    fset = FeatureSet(channels=C, patch_size=ps, dtype="float32")
+    for im in rec.images.values():
+        fmap = FeatureMap(is_sparse=True)
+        for p2D_idx, pid in enumerate(im.point3D_ids):
+            if pid < 0:
+                continue
+            xy = im.xys[p2D_idx]
+            corner = np.floor(xy - ps / 2).astype(np.int64)
+            # nearly flat patch: tiny noise, no structure
+            from pixsfm_tpu.features.featuremaps import FeaturePatch
+            patch = 0.5 + 1e-3 * rng.normal(0, 1, (ps, ps, C))
+            fmap.patches[p2D_idx] = FeaturePatch(
+                patch.astype(np.float32), corner, np.array([1.0, 1.0]))
+        fset.emplace(im.name, fmap)
+
+    class _Mgr:
+        num_levels = 1
+
+        def fset(self, i):
+            return fset
+
+    xyz0 = {pid: np.asarray(p.xyz).copy() for pid, p in rec.points3D.items()}
+    ba = BundleAdjuster.create({
+        "strategy": "feature_reference",
+        "interpolation": {"mode": "BICUBIC", "l2_normalize": False,
+                          "check_bounds": True},
+        "optimizer": {"refine_focal_length": False,
+                      "refine_extra_params": False}})
+    ba.refine_multilevel(rec, _Mgr())
+    move = max(np.linalg.norm(np.asarray(p.xyz) - xyz0[pid])
+               for pid, p in rec.points3D.items())
+    # scene radius is ~2 units; without the barrier points fly 100s of units
+    assert move < 1.0, f"flat-patch runaway: max point move {move:.1f}"
