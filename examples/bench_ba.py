@@ -112,12 +112,17 @@ def main():
     def sync(x):
         return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
 
-    for solver in ("cg", "dense"):
+    import os
+    solvers = os.environ.get("SOLVERS", "cg,dense").split(",")
+    for solver in solvers:
         ts = {}
         for iters in (0, 2, 12):
             if solver == "dense" and iters == 0:
                 continue
+            import os
+            oc = int(os.environ.get("OBS_CHUNK", 8192))
             opts = BAOptions(max_iterations=iters, linear_solver=solver,
+                             obs_chunk=oc,
                              max_linear_solver_iterations=50)
             run = jax.jit(lambda s, o: ba_solve(
                 residual_fn, s, o, loss, *args, opts=opts))
