@@ -171,7 +171,12 @@ def _segment_matmul(idx, S: int, vals):
     oh = (idx[None, :] == jnp.arange(S, dtype=jnp.int32)[:, None]
           ).astype(vals.dtype)
     flat = vals.reshape(n, -1)
-    out = jnp.dot(oh, flat, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: TPU matmuls default to bf16 multiplies, which
+    # quantizes the accumulated normal equations (scatter-adds were exact
+    # f32 and small systems visibly lose LM steps to the rounding); the
+    # 3-pass f32 emulation keeps these reductions cheap AND exact.
+    out = jnp.dot(oh, flat, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     return out.reshape((S,) + vals.shape[1:])
 
 
