@@ -169,6 +169,108 @@ def img_from_cam(model: str, params, uv):
     return jnp.stack([fx * d[..., 0] + cx, fy * d[..., 1] + cy], axis=-1)
 
 
+def distort_with_jac(model: str, params, uv):
+    """Distortion map with hand-written Jacobians (unbatched; vmap for batches).
+
+    Returns ``(d [2], J_uv [2, 2], J_extra [2, n_extra])`` where ``d`` equals
+    ``_distort(model, params, uv)``, ``J_uv = dd/duv`` and ``J_extra`` are the
+    columns w.r.t. the model's extra (distortion) parameters. Closed-form
+    analogue of the derivative information Ceres Jets carry through the
+    reference's distortion templates (pixsfm/base/src/projection.h:77-90) —
+    used by the BA fast path so residual Jacobians avoid generic jacfwd over
+    the full pose+intrinsics+point tangent.
+    """
+    dt = uv.dtype
+    u, v = uv[0], uv[1]
+    eye = jnp.eye(2, dtype=dt)
+    if model in ("SIMPLE_PINHOLE", "PINHOLE"):
+        return uv, eye, jnp.zeros((2, 0), dt)
+    r2 = u * u + v * v
+    uuT = jnp.outer(uv, uv)
+    if model == "SIMPLE_RADIAL":
+        k = params[3]
+        radial = 1.0 + k * r2
+        J_uv = radial * eye + 2.0 * k * uuT
+        return uv * radial, J_uv, (uv * r2)[:, None]
+    if model == "RADIAL":
+        k1, k2 = params[3], params[4]
+        radial = 1.0 + r2 * (k1 + k2 * r2)
+        drad_dr2 = k1 + 2.0 * k2 * r2
+        J_uv = radial * eye + 2.0 * drad_dr2 * uuT
+        J_extra = jnp.stack([uv * r2, uv * (r2 * r2)], axis=1)
+        return uv * radial, J_uv, J_extra
+    if model == "OPENCV":
+        k1, k2 = params[4], params[5]
+        p1, p2 = params[6], params[7]
+        radial = 1.0 + r2 * (k1 + k2 * r2)
+        drad_dr2 = k1 + 2.0 * k2 * r2
+        du = u * radial + 2.0 * p1 * u * v + p2 * (r2 + 2.0 * u * u)
+        dv = v * radial + p1 * (r2 + 2.0 * v * v) + 2.0 * p2 * u * v
+        ddu_du = radial + 2.0 * u * u * drad_dr2 + 2.0 * p1 * v + 6.0 * p2 * u
+        ddv_dv = radial + 2.0 * v * v * drad_dr2 + 6.0 * p1 * v + 2.0 * p2 * u
+        # d(du)/dv == d(dv)/du (the tangential terms are symmetric)
+        off = 2.0 * u * v * drad_dr2 + 2.0 * p1 * u + 2.0 * p2 * v
+        J_uv = jnp.stack([jnp.stack([ddu_du, off]),
+                          jnp.stack([off, ddv_dv])])
+        J_extra = jnp.stack([
+            jnp.stack([u * r2, u * r2 * r2, 2.0 * u * v, r2 + 2.0 * u * u]),
+            jnp.stack([v * r2, v * r2 * r2, r2 + 2.0 * v * v, 2.0 * u * v]),
+        ])
+        return jnp.stack([du, dv]), J_uv, J_extra
+    if model == "OPENCV_FISHEYE":
+        k1, k2, k3, k4 = params[4], params[5], params[6], params[7]
+        r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+        theta = jnp.arctan(r)
+        t2 = theta * theta
+        poly = 1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))
+        theta_d = theta * poly
+        scale = jnp.where(r > 1e-8, theta_d / r, 1.0)
+        dtd_dt = 1.0 + t2 * (3.0 * k1 + t2 * (5.0 * k2
+                                              + t2 * (7.0 * k3
+                                                      + t2 * 9.0 * k4)))
+        dt_dr = 1.0 / (1.0 + r2)
+        # d(scale)/dr / r, with the r->0 limit 2*(k1 - 1/3) from the Taylor
+        # expansion theta_d/r = 1 + (k1 - 1/3) r^2 + O(r^4)
+        dscale_dr_over_r = jnp.where(
+            r > 1e-6,
+            dtd_dt * dt_dr / r2 - theta_d / (r2 * r),
+            2.0 * (k1 - 1.0 / 3.0))
+        J_uv = scale * eye + dscale_dr_over_r * uuT
+        tpow = jnp.where(r > 1e-8, 1.0 / r, 0.0) * jnp.stack(
+            [theta ** 3, theta ** 5, theta ** 7, theta ** 9])
+        J_extra = uv[:, None] * tpow[None, :]
+        return uv * scale, J_uv, J_extra
+    raise ValueError(f"unknown camera model {model}")
+
+
+def img_from_cam_with_jac(model: str, params, uv):
+    """``img_from_cam`` with analytic Jacobians (unbatched).
+
+    Returns ``(pix [2], J_uv [2, 2], J_cam [2, k])`` — the pixel, its
+    derivative w.r.t. normalized camera coords, and w.r.t. ALL k camera
+    parameters (focal / principal point / distortion columns filled per the
+    model's param layout).
+    """
+    spec = CAMERA_MODELS[model]
+    d, Jd_uv, Jd_extra = distort_with_jac(model, params, uv)
+    fx, fy, cx, cy = _focal_pp(model, params)
+    f = jnp.stack([fx, fy])
+    pix = f * d + jnp.stack([cx, cy])
+    J_uv = f[:, None] * Jd_uv
+    J_cam = jnp.zeros((2, spec.num_params), uv.dtype)
+    if len(spec.focal_idxs) == 1:
+        J_cam = J_cam.at[:, spec.focal_idxs[0]].set(d)
+    else:
+        J_cam = J_cam.at[0, spec.focal_idxs[0]].set(d[0])
+        J_cam = J_cam.at[1, spec.focal_idxs[1]].set(d[1])
+    J_cam = J_cam.at[0, spec.pp_idxs[0]].set(1.0)
+    J_cam = J_cam.at[1, spec.pp_idxs[1]].set(1.0)
+    if spec.extra_idxs:
+        J_cam = J_cam.at[:, jnp.asarray(spec.extra_idxs)].set(
+            f[:, None] * Jd_extra)
+    return pix, J_uv, J_cam
+
+
 def cam_from_img(model: str, params, xy):
     """Pixel coords (2,) -> normalized camera coords (2,). COLMAP ImageToWorld.
 

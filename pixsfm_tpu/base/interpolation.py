@@ -556,6 +556,31 @@ def interpolate_residual(patches, row, r, c,
     return interpolate_autodiff(patches[row], r, c, config)
 
 
+def interpolate_residual_with_grad(patches, row, r, c,
+                                   config: Optional[InterpolationConfig]
+                                   = None):
+    """``interpolate_residual``'s value plus analytic (dfdr, dfdc).
+
+    Same dispatch as :func:`interpolate_residual` (4-row window reads for
+    plain bicubic, full-patch otherwise) but returns the gradients directly
+    for solvers that assemble the observation Jacobian by hand instead of
+    differentiating through a custom-JVP wrapper. NCC configs are not
+    supported (their normalization is only differentiated via jax AD)."""
+    config = config or InterpolationConfig()
+    if config.ncc_normalize:
+        raise NotImplementedError(
+            "interpolate_residual_with_grad: NCC configs use the autodiff "
+            "path")
+    if config.mode in ("BICUBIC", "CERES_BICUBIC"):
+        N, H, W, C = patches.shape
+        f, dfdr, dfdc = bicubic_window_eval_single(
+            patches.reshape(N * H, W, C), H, W, C, row * H, r, c)
+        if config.l2_normalize:
+            f, (dfdr, dfdc) = l2_normalize_with_grad(f, (dfdr, dfdc))
+        return f, dfdr, dfdc
+    return interpolate_with_grad(patches[row], r, c, config)
+
+
 def interpolate_autodiff(patch, r, c,
                          config: Optional[InterpolationConfig] = None):
     """:func:`interpolate` with a custom forward-mode rule.

@@ -134,6 +134,135 @@ _RESIDUAL_BUILDERS = {
     "costmap": _build_costmap,
 }
 
+
+# ---------------------------------------------------------------------------
+# analytic-Jacobian fast path (ops/schur.py residual_jac_fn)
+#
+# Each builder returns residual_jac_fn(q, t, cam, X, obs_slice, ctx) ->
+# (r [C], J [C, 6+k+3]) composed from project_with_jac (closed-form
+# pose/intrinsics/point columns) and the analytic interpolation gradients —
+# replacing generic jacfwd over the whole tangent in the BA residual hot
+# loop (the reference gets the same structure from Ceres Jets,
+# feature_reference.h:98-137). Returns None when the config needs the
+# autodiff path (NCC normalization). Parity with jacfwd is asserted in
+# tests/test_ba_jac_path.py.
+# ---------------------------------------------------------------------------
+
+def _jac_cat(Jp, Jc, Jx):
+    return jnp.concatenate([Jp, Jc, Jx], axis=1)
+
+
+def _build_geometric_jac(model):
+    from ..base.projection import project_with_jac
+
+    if isinstance(model, tuple) and len(model) > 1:
+        from ..base.cameras import CAMERA_MODELS
+        models = model
+
+        def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
+            xy_obs, mi = obs_slice
+            k_max = cam.shape[0]
+
+            def branch(m):
+                km = CAMERA_MODELS[m].num_params
+
+                def f(a):
+                    cam_, q_, t_, X_ = a
+                    pix, Jp, Jc, Jx = project_with_jac(m, cam_[:km], q_, t_,
+                                                       X_)
+                    Jc = jnp.pad(Jc, ((0, 0), (0, k_max - km)))
+                    return pix, _jac_cat(Jp, Jc, Jx)
+                return f
+
+            pix, J = jax.lax.switch(mi, [branch(m) for m in models],
+                                    (cam, qvec, tvec, X))
+            return pix - xy_obs, J
+        return residual_jac_fn
+
+    if isinstance(model, tuple):
+        model = model[0]
+
+    def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        xy_obs = obs_slice
+        pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
+        return pix - xy_obs, _jac_cat(Jp, Jc, Jx)
+    return residual_jac_fn
+
+
+def _interp_residual_jac(interp, patches, row, pix, Jpix, scales_row,
+                         ups_row, corners_row):
+    """Shared featuremetric tail: patch-coords transform + interpolation +
+    optional bounds-violation row, with the Jacobian chain composed by hand.
+    Returns (f [C(+1)], J [C(+1), 6+k+3]) where f excludes the target."""
+    from ..base.interpolation import (bounds_violation,
+                                      interpolate_residual_with_grad)
+    su = scales_row * ups_row                    # [2] d(patch coords)/d(pix)
+    pc = (pix * scales_row - 0.5 - corners_row) * ups_row
+    f, dfdr, dfdc = interpolate_residual_with_grad(
+        patches, row, pc[1], pc[0], interp)
+    J = dfdc[:, None] * (su[0] * Jpix[0])[None, :] \
+        + dfdr[:, None] * (su[1] * Jpix[1])[None, :]
+    if interp.check_bounds:
+        H, W = patches.shape[1], patches.shape[2]
+        viol = bounds_violation(pc[1], pc[0], H, W)
+        one = jnp.float32(1.0)
+        dv_dr = jnp.where(pc[1] > H - 1.0, one, 0.0) \
+            - jnp.where(pc[1] < 0.0, one, 0.0)
+        dv_dc = jnp.where(pc[0] > W - 1.0, one, 0.0) \
+            - jnp.where(pc[0] < 0.0, one, 0.0)
+        Jv = dv_dc * su[0] * Jpix[0] + dv_dr * su[1] * Jpix[1]
+        f = jnp.concatenate([f, viol[None]])
+        J = jnp.concatenate([J, Jv[None, :]], axis=0)
+    return f, J
+
+
+def _build_feature_reference_jac(model, interp_key):
+    from ..util.jit_cache import interp_from_key
+    from ..base.projection import project_with_jac
+    interp = interp_from_key(interp_key)
+    if interp.ncc_normalize or (isinstance(model, tuple) and len(model) > 1):
+        return None
+    if isinstance(model, tuple):
+        model = model[0]
+
+    def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        row, target = obs_slice
+        patches, corners, scales, ups = ctx
+        pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
+        f, J = _interp_residual_jac(interp, patches, row, pix,
+                                    _jac_cat(Jp, Jc, Jx), scales[row],
+                                    ups[row], corners[row])
+        r = f.at[:target.shape[0]].add(-target) if interp.check_bounds \
+            else f - target
+        return r, J
+    return residual_jac_fn
+
+
+def _build_costmap_jac(model, interp_key):
+    from ..util.jit_cache import interp_from_key
+    from ..base.projection import project_with_jac
+    interp = interp_from_key(interp_key)
+    if interp.ncc_normalize or (isinstance(model, tuple) and len(model) > 1):
+        return None
+    if isinstance(model, tuple):
+        model = model[0]
+
+    def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        row = obs_slice
+        patches, corners, scales, ups = ctx
+        pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
+        return _interp_residual_jac(interp, patches, row, pix,
+                                    _jac_cat(Jp, Jc, Jx), scales[row],
+                                    ups[row], corners[row])
+    return residual_jac_fn
+
+
+_RESIDUAL_JAC_BUILDERS = {
+    "geometric": _build_geometric_jac,
+    "feature_reference": _build_feature_reference_jac,
+    "costmap": _build_costmap_jac,
+}
+
 from functools import lru_cache
 
 
@@ -143,12 +272,15 @@ def _compiled_ba_run(residual_key, loss_key, opts):
     from ..ops.schur import ba_solve as _ba_solve
 
     residual_fn = _RESIDUAL_BUILDERS[residual_key[0]](*residual_key[1:])
+    jac_builder = _RESIDUAL_JAC_BUILDERS.get(residual_key[0])
+    residual_jac_fn = jac_builder(*residual_key[1:]) if jac_builder else None
     loss = RobustLoss(loss_key[0], list(loss_key[1]))
 
     @jax.jit
     def run(state0, obs, ctx, pose_free, tvec_free, cam_free, point_free):
         return _ba_solve(residual_fn, state0, obs, loss, pose_free,
-                         tvec_free, cam_free, point_free, opts=opts, ctx=ctx)
+                         tvec_free, cam_free, point_free, opts=opts, ctx=ctx,
+                         residual_jac_fn=residual_jac_fn)
 
     return run
 

@@ -228,7 +228,9 @@ def ba_solve(residual_fn: Callable,
              cam_free: jnp.ndarray,       # [Nc, k] bool
              point_free: jnp.ndarray,     # [Np] bool
              opts: BAOptions = BAOptions(),
-             ctx=()) -> Tuple[BAState, Dict]:
+             ctx=(),
+             residual_jac_fn: Optional[Callable] = None
+             ) -> Tuple[BAState, Dict]:
     """Run the Schur LM.
 
     residual_fn(qvec[4], tvec[3], cam[k], xyz[3], obs_slice[, ctx]) -> r [C]
@@ -243,13 +245,26 @@ def ba_solve(residual_fn: Callable,
     camera-side normal matrix is then assembled from per-observation full
     blocks so the img<->src<->intrinsics cross terms are exact (the reference
     couples both poses through one Ceres cost functor,
-    patch_warp_bundle_optimizer.h:21-61)."""
+    patch_warp_bundle_optimizer.h:21-61).
+
+    ``residual_jac_fn`` (optional) is the analytic fast path: called as
+    ``residual_jac_fn(q, t, cam, X, obs_slice, ctx) -> (r [C], J [C, 6+k+3])``
+    at the current state (tangent 0, same layout as the jacfwd tangent:
+    [omega(3), dt(3), dcam(k), dX(3)]). When given, the Jacobian chunk eval
+    uses it instead of generic ``jax.jacfwd`` over ``residual_fn`` — built
+    from :func:`pixsfm_tpu.base.projection.project_with_jac` + the analytic
+    interpolation gradients by the BA strategies. ``residual_fn`` is still
+    used for pure cost evaluations, so the two must agree on the primal.
+    Not supported together with ``src_idx`` (patch-warp keeps jacfwd)."""
     I = state0.qvec.shape[0]
     Nc, k = state0.cams.shape
     Np = state0.xyz.shape[0]
     M = 6 * I + k * Nc
     O = obs.img_idx.shape[0]
     has_src = obs.src_idx is not None
+    if residual_jac_fn is not None and has_src:
+        raise ValueError("residual_jac_fn is not supported with src_idx "
+                         "(patch-warp uses the jacfwd path)")
     PB = 12 if has_src else 6        # pose tangent rows per observation
     NR = PB + k                      # camera-side rows per observation
 
@@ -298,7 +313,17 @@ def ba_solve(residual_fn: Callable,
 
         def chunk_fn(carry, inp):
             ois, vm = inp
-            if with_jac:
+            if with_jac and residual_jac_fn is not None:
+                def rj(oi):
+                    sl = jax.tree_util.tree_map(lambda a: a[oi],
+                                                obs.obs_data)
+                    return residual_jac_fn(
+                        state.qvec[obs.img_idx[oi]],
+                        state.tvec[obs.img_idx[oi]],
+                        state.cams[obs.cam_idx[oi]],
+                        state.xyz[obs.pt_idx[oi]], sl, ctx)
+                r, J = jax.vmap(rj)(ois)
+            elif with_jac:
                 def rfun(d, oi):
                     return obs_residual(state, d, oi)
                 r = jax.vmap(lambda oi: obs_residual(state, zeros_d, oi))(ois)
