@@ -1,21 +1,32 @@
-"""Benchmark: featuremetric KA solver throughput on the TPU.
+"""Benchmark suite: one JSON line with the framework's four hot-path metrics.
 
-Workload: a synthetic batch of KA subproblems shaped like an ETH3D scene slice
+Headline (metric/value/unit/vs_baseline): featuremetric KA solver throughput —
+a synthetic batch of KA subproblems shaped like an ETH3D scene slice
 (problems of <=48 keypoints, 128-channel bf16 patches, bicubic interpolation,
-Cauchy loss, bounded LM) — the reference's hottest path
-(featuremetric_keypoint_optimizer.h + Ceres autodiff + AVX2 spline; the
-published pipeline spends most of its refinement time here).
+Cauchy loss, bounded LM), the reference's hottest path
+(featuremetric_keypoint_optimizer.h + Ceres autodiff + AVX2 spline).
+``vs_baseline`` compares against the same program run on the host CPU
+(single process, all cores) — the stand-in for the reference's CPU solver
+stack, measured fresh on this machine each run.
 
-Metric: keypoints refined per second (full LM solve to the default 100-iteration
-cap / convergence). ``vs_baseline`` compares against the same program run on the
-host CPU (single process, all cores) — the stand-in for the reference's CPU
-solver stack, measured fresh on this machine each run.
+Extra keys (same line, so the driver's BENCH_r*.json can regression-check
+them; added per round-1 review):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- ``ba_lm_ms_per_iter_80k_obs``: geometric BA LM iteration, 40 images /
+  2000 points / 80k observations, SIMPLE_RADIAL, iterative (CG) Schur,
+  analytic-Jacobian residual path (the production configuration).
+- ``fm_ba_lm_ms_per_iter_20k_obs_c128``: featuremetric (feature-reference)
+  BA LM iteration, 20 images / 1000 points / 20k observations, C=128 bf16
+  patches, windowed bicubic + L2, analytic-Jacobian path.
+- ``extract_imgs_per_s``: S2DNet (1-level) dense-feature forward at 480x640
+  in bf16.
+
+Prints ONE JSON line.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -34,9 +45,19 @@ def _enable_compile_cache():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:  # cache unsupported on this backend: proceed
-        print(f"[bench] compilation cache unavailable: {e}",
-              file=__import__("sys").stderr)
+        print(f"[bench] compilation cache unavailable: {e}", file=sys.stderr)
 
+
+def _sync(x):
+    """Host readback fence (block_until_ready returns early on the remote
+    axon backend; a readback is the only reliable fence)."""
+    import jax
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+# ---------------------------------------------------------------------------
+# KA headline
+# ---------------------------------------------------------------------------
 
 def build_workload(P=192, K=48, E=96, C=128, ps=16, seed=0,
                    make_patches=True):
@@ -80,19 +101,11 @@ def bench_backend(problems, patches, chunk, repeats=3, iters=100,
                   warmup_iters=2, queue=4):
     """Time the jitted KA chunk solver itself: all inputs staged on device
     once, ``queue`` solver executions enqueued back-to-back, ONE host
-    readback at the end as the fence.
-
-    Rationale: this machine reaches its TPU through a high-latency tunnel
-    (~100 ms per host readback / dispatch round-trip). The production
-    pipeline keeps features and problem arrays resident on device across
-    KA levels, so per-call host round-trips are an artifact of the tunnel,
-    not of the solver; a naive per-call timing measures mostly RTT.
-    """
-    import sys
-
+    readback at the end as the fence (the tunnel costs ~100 ms per
+    dispatch/readback round-trip; the production pipeline keeps arrays
+    device-resident across KA levels, so per-call RTT is an artifact)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from pixsfm_tpu.base.interpolation import InterpolationConfig
     from pixsfm_tpu.base.losses import RobustLoss
@@ -125,8 +138,6 @@ def bench_backend(problems, patches, chunk, repeats=3, iters=100,
     args = (staged, x0, data, kp_free, lower, upper, pmask)
 
     def sync(out):
-        # block_until_ready returns early on the remote (axon) backend; a
-        # host readback is the only reliable fence.
         return float(np.asarray(out[0])[0, 0])
 
     t0 = time.time()
@@ -158,6 +169,242 @@ def bench_backend(problems, patches, chunk, repeats=3, iters=100,
     return max(min(times), 1e-9)
 
 
+# ---------------------------------------------------------------------------
+# BA benches (per-LM-iteration cost via the (t12 - t2) / 10 difference,
+# which cancels dispatch overhead and the initial system evaluation)
+# ---------------------------------------------------------------------------
+
+def _ring_scene(I, Np, seed=0):
+    """Cameras on a ring looking at a unit-box point cloud; SIMPLE_RADIAL."""
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-1, 1, (Np, 3)).astype(np.float32)
+    qvecs, tvecs = [], []
+    for a in np.linspace(0, 2 * np.pi, I, endpoint=False):
+        c = np.array([4 * np.cos(a), 0.4 * np.sin(3 * a), 4 * np.sin(a)])
+        z = -c / np.linalg.norm(c)
+        x = np.cross(np.array([0, 1.0, 0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        qw = np.sqrt(max(1 + np.trace(R), 1e-12)) / 2
+        qvecs.append([qw, (R[2, 1] - R[1, 2]) / (4 * qw),
+                      (R[0, 2] - R[2, 0]) / (4 * qw),
+                      (R[1, 0] - R[0, 1]) / (4 * qw)])
+        tvecs.append(-R @ c)
+    qvec = np.asarray(qvecs, np.float32)
+    tvec = np.asarray(tvecs, np.float32)
+    cams = np.asarray([[1000.0, 512.0, 384.0, 0.01]], np.float32)
+
+    def proj(qv, tv, X):
+        w, x, y, z = qv
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+        xc = X @ R.T + tv
+        uv = xc[:, :2] / xc[:, 2:3]
+        d = 1 + cams[0, 3] * (uv ** 2).sum(1, keepdims=True)
+        return cams[0, 0] * uv * d + cams[0, 1:3]
+
+    xy = np.concatenate([proj(qvec[i], tvec[i], xyz) for i in range(I)])
+    return qvec, tvec, cams, xyz, xy.astype(np.float32), rng
+
+
+def _ba_gauge_args(I, Np, k):
+    import jax.numpy as jnp
+    pose_free = np.ones(I, bool)
+    pose_free[0] = False
+    tvec_free = np.ones((I, 3), bool)
+    tvec_free[1, 0] = False
+    return (jnp.asarray(pose_free), jnp.asarray(tvec_free),
+            jnp.ones((1, k), bool), jnp.ones(Np, bool))
+
+
+def _per_iter_ms(make_run, state0, obs, ctx=None):
+    """Steady-state (t_12iters - t_2iters)/10 in ms; each variant timed on
+    its second call (first pays compile)."""
+    ts = {}
+    for iters in (2, 12):
+        run = make_run(iters)
+        args = (state0, obs) if ctx is None else (state0, obs, ctx)
+        t0 = time.time()
+        st, summ = run(*args)
+        c0, c1 = float(summ["initial_cost"]), float(summ["final_cost"])
+        t_first = time.time() - t0
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            st, summ = run(*args)
+            _sync(summ["final_cost"])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        ts[iters] = best
+        print(f"[bench] ba iters={iters}: first={t_first:.1f}s "
+              f"steady={ts[iters]:.3f}s cost {c0:.1f}->{c1:.4g}",
+              file=sys.stderr, flush=True)
+    return max((ts[12] - ts[2]) / 10 * 1e3, 1e-6)
+
+
+def bench_ba_geometric(I=40, Np=2000):
+    """Geometric BA per-LM-iteration at 80k observations (production path:
+    analytic-Jacobian residual, CG Schur)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixsfm_tpu.base.losses import RobustLoss
+    from pixsfm_tpu.bundle_adjustment.main import (_RESIDUAL_BUILDERS,
+                                                   _RESIDUAL_JAC_BUILDERS)
+    from pixsfm_tpu.ops.schur import BAObservations, BAOptions, BAState, \
+        ba_solve
+
+    qvec, tvec, cams, xyz, xy, rng = _ring_scene(I, Np)
+    model = "SIMPLE_RADIAL"
+    O = I * Np
+    xy = xy + rng.normal(0, 0.5, xy.shape).astype(np.float32)
+    rfn = _RESIDUAL_BUILDERS["geometric"]((model,))
+    jfn = _RESIDUAL_JAC_BUILDERS["geometric"]((model,))
+
+    state0 = BAState(
+        jnp.asarray(qvec),
+        jnp.asarray(tvec + rng.normal(0, 0.02, tvec.shape).astype(np.float32)),
+        jnp.asarray(cams),
+        jnp.asarray(xyz + rng.normal(0, 0.02, xyz.shape).astype(np.float32)))
+    obs = BAObservations(
+        img_idx=jnp.asarray(np.repeat(np.arange(I, dtype=np.int32), Np)),
+        cam_idx=jnp.asarray(np.zeros(O, np.int32)),
+        pt_idx=jnp.asarray(np.tile(np.arange(Np, dtype=np.int32), I)),
+        obs_data=jnp.asarray(xy), valid=jnp.ones((O,), bool),
+        pair_o1=jnp.zeros(4, jnp.int32) + O,
+        pair_o2=jnp.zeros(4, jnp.int32) + O)
+    loss = RobustLoss("trivial")
+    args = _ba_gauge_args(I, Np, 4)
+
+    def make_run(iters):
+        opts = BAOptions(max_iterations=iters, linear_solver="cg",
+                         obs_chunk=8192, max_linear_solver_iterations=50)
+        return jax.jit(lambda s, o: ba_solve(
+            rfn, s, o, loss, *args, opts=opts, residual_jac_fn=jfn))
+
+    return _per_iter_ms(make_run, state0, obs)
+
+
+def bench_ba_featuremetric(I=20, Np=1000, ps=16, C=128):
+    """Feature-reference BA per-LM-iteration at 20k obs, C=128 bf16 patches
+    (production path: windowed bicubic + L2, analytic Jacobian)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixsfm_tpu.base.interpolation import InterpolationConfig, interpolate
+    from pixsfm_tpu.base.losses import RobustLoss
+    from pixsfm_tpu.bundle_adjustment.main import (_RESIDUAL_BUILDERS,
+                                                   _RESIDUAL_JAC_BUILDERS)
+    from pixsfm_tpu.ops.schur import BAObservations, BAOptions, BAState, \
+        ba_solve
+    from pixsfm_tpu.util.jit_cache import interp_static_key
+
+    qvec, tvec, cams, xyz, xy_gt, rng = _ring_scene(I, Np, seed=1)
+    model = "SIMPLE_RADIAL"
+    O = I * Np
+    interp = InterpolationConfig(mode="BICUBIC", l2_normalize=True)
+    ikey = interp_static_key(interp)
+    rfn = _RESIDUAL_BUILDERS["feature_reference"](model, ikey)
+    jfn = _RESIDUAL_JAC_BUILDERS["feature_reference"](model, ikey)
+
+    # patches synthesized ON DEVICE (1.3 GB would crawl through the tunnel)
+    @jax.jit
+    def synth(key):
+        field = jax.random.normal(key, (ps, ps, C))
+        noise = 0.05 * jax.random.normal(jax.random.fold_in(key, 1),
+                                         (O, ps, ps, C))
+        return (field[None] + noise).astype(jnp.bfloat16)
+
+    patches = synth(jax.random.PRNGKey(0))
+    patches.block_until_ready()
+    # featuremap scale + perturbation sized so reprojections stay ON the
+    # ps=16 patches (f=1000, depth~4: 0.002 noise -> ~0.5 px -> ~1 patch px)
+    scales = np.full((O, 2), 2.0, np.float32)
+    ups = np.ones(O, np.float32)
+    corners = (xy_gt * scales - ps / 2).astype(np.float32)
+    rows = np.arange(O, dtype=np.int32)
+    scales_j = jnp.asarray(scales)
+    corners_j = jnp.asarray(corners)
+    xy_gt_j = jnp.asarray(xy_gt)
+
+    @jax.jit
+    def targets_of(patches):
+        def one(row, xy):
+            pc = (xy * scales_j[row] - 0.5 - corners_j[row])
+            return interpolate(patches[row], pc[1], pc[0], interp)
+        return jax.vmap(one)(jnp.asarray(rows), xy_gt_j)
+
+    targets = targets_of(patches)
+    targets.block_until_ready()
+
+    ctx = (patches, corners_j, scales_j, jnp.asarray(ups))
+    state0 = BAState(
+        jnp.asarray(qvec),
+        jnp.asarray(tvec + rng.normal(0, 0.002, tvec.shape)
+                    .astype(np.float32)),
+        jnp.asarray(cams),
+        jnp.asarray(xyz + rng.normal(0, 0.002, xyz.shape)
+                    .astype(np.float32)))
+    obs = BAObservations(
+        img_idx=jnp.asarray(np.repeat(np.arange(I, dtype=np.int32), Np)),
+        cam_idx=jnp.asarray(np.zeros(O, np.int32)),
+        pt_idx=jnp.asarray(np.tile(np.arange(Np, dtype=np.int32), I)),
+        obs_data=(jnp.asarray(rows), targets), valid=jnp.ones((O,), bool),
+        pair_o1=jnp.zeros(4, jnp.int32) + O,
+        pair_o2=jnp.zeros(4, jnp.int32) + O)
+    loss = RobustLoss("cauchy", [0.25])
+    args = _ba_gauge_args(I, Np, 4)
+
+    def make_run(iters):
+        opts = BAOptions(max_iterations=iters, linear_solver="cg",
+                         obs_chunk=4096, max_linear_solver_iterations=50)
+        return jax.jit(lambda s, o, c: ba_solve(
+            rfn, s, o, loss, *args, opts=opts, ctx=c, residual_jac_fn=jfn))
+
+    return _per_iter_ms(make_run, state0, obs, ctx)
+
+
+def bench_extract(H=480, W=640, reps=10):
+    """S2DNet (1-level) bf16 dense forward throughput, images/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixsfm_tpu.features.models.s2dnet import S2DNet
+
+    model = S2DNet({"num_layers": 1, "pretrained": None})
+    dt = jnp.bfloat16
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a,
+        model.variables)
+
+    @jax.jit
+    def fwd(img):
+        return model.module.apply(variables, img.astype(dt))[0]
+
+    img = jax.jit(lambda k: jax.random.uniform(k, (1, H, W, 3), jnp.float32))(
+        jax.random.PRNGKey(0))
+    img.block_until_ready()
+    _sync(fwd(img))  # compile
+    t0 = time.time()
+    _sync((img,))
+    rtt = time.time() - t0
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = fwd(img)
+        _sync(out)
+        dt_run = (time.time() - t0 - rtt) / reps
+        best = dt_run if best is None else min(best, dt_run)
+    return 1.0 / max(best, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+
 def main():
     import jax
 
@@ -181,12 +428,24 @@ def main():
                               iters=cpu_iters, warmup_iters=cpu_iters)
     cpu_rate = int(sub.kp_valid.sum()) * cpu_iters / t_cpu
 
-    print(json.dumps({
+    out = {
         "metric": "ka_featuremetric_keypoint_iterations_per_s",
         "value": round(tpu_rate, 1),
         "unit": "keypoint-LM-iterations/s (K=%d,C=128,ps=16,bf16)" % K,
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
-    }))
+    }
+    for key, fn in (("ba_lm_ms_per_iter_80k_obs", bench_ba_geometric),
+                    ("fm_ba_lm_ms_per_iter_20k_obs_c128",
+                     bench_ba_featuremetric),
+                    ("extract_imgs_per_s", bench_extract)):
+        try:
+            out[key] = round(fn(), 2)
+        except Exception as e:  # never lose the headline metric
+            print(f"[bench] {key} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            out[key] = None
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
