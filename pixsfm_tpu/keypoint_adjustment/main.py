@@ -387,10 +387,13 @@ class TopologicalReferenceKeypointAdjuster(KeypointAdjuster):
         corner = packed.corners[n_rows]
         scale = packed.scales[n_rows]
         ups = packed.upsampling[n_rows]
-        ps = packed.patches.shape[1]
+        # patch extent per axis: keypoints are (x, y) so the box is (W, H) —
+        # dense featuremaps are not square
+        ext = np.array([packed.patches.shape[2], packed.patches.shape[1]],
+                       np.float64)
         bound = float(opt.get("bound", 4.0))
         lo = (corner + 0.5) / scale
-        hi = lo + ps / scale
+        hi = lo + ext / scale
         if bound > 0:
             lo = np.maximum(lo, n_kps - bound / scale)
             hi = np.minimum(hi, n_kps + bound / scale)

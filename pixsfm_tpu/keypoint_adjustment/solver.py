@@ -142,7 +142,9 @@ def build_ka_problems(keypoints: Dict[str, np.ndarray], graph,
     const = (np.zeros(graph.num_nodes, bool) if constant_nodes is None
              else np.asarray(constant_nodes, bool))
 
-    ps = packed.patches.shape[1] if packed.num_patches else 0
+    # patch extent per keypoint axis (x, y) -> (W, H): dense maps aren't square
+    ext = (np.array([packed.patches.shape[2], packed.patches.shape[1]],
+                    np.float64) if packed.num_patches else np.zeros(2))
     if len(sorted_nodes):
         # vectorized packing: per-image numpy gathers instead of a Python
         # loop per node (the loop dominated host time at Aachen-scale scenes)
@@ -170,7 +172,7 @@ def build_ka_problems(keypoints: Dict[str, np.ndarray], graph,
         # bounds: patch extent (in image coords) intersect kp +- bound/scale
         sc = packed.scales[rows_all]
         lo = (packed.corners[rows_all] + 0.5) / sc
-        hi = lo + np.array([ps, ps]) / sc
+        hi = lo + ext / sc
         if bound > 0:
             lo = np.maximum(lo, kp_all - bound / sc)
             hi = np.minimum(hi, kp_all + bound / sc)
@@ -198,10 +200,11 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
     """Batched per-keypoint interpolation: returns f, dfdx, dfdy [P, K, C]
     (derivatives w.r.t. image coordinates).
 
-    ``rows_spec = (rows, ps, C, patch_row)`` routes the bicubic window eval
+    ``rows_spec = (rows, H, W, C, patch_row)`` routes the bicubic window eval
     against a pre-materialized flat row view of the PACKED patch array
-    (``rows = packed.reshape(-1, ps*C)``, hoisted out of the solver loop);
-    ``patches`` is ignored then and no per-problem patch gather happens."""
+    (``rows = packed.reshape(-1, W, C)``, hoisted out of the solver loop);
+    ``patches`` is ignored then and no per-problem patch gather happens.
+    H/W are carried separately — dense featuremaps are not square."""
     uv = (kp * scale - 0.5 - corner) * ups[..., None]
     r = uv[..., 1]
     c = uv[..., 0]
@@ -209,11 +212,11 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
     if rows_spec is not None:
         from ..base.interpolation import (bicubic_window_eval_rows,
                                           l2_normalize_with_grad)
-        rows, ps, C, patch_row = rows_spec
+        rows, H, W, C, patch_row = rows_spec
         P, K = r.shape
-        row_base = patch_row.reshape(-1).astype(jnp.int32) * ps
+        row_base = patch_row.reshape(-1).astype(jnp.int32) * H
         f, dfdr, dfdc = bicubic_window_eval_rows(
-            rows, ps, ps, C, row_base, r.reshape(-1), c.reshape(-1))
+            rows, H, W, C, row_base, r.reshape(-1), c.reshape(-1))
         if interp.l2_normalize:
             f, (dfdr, dfdc) = l2_normalize_with_grad(f, (dfdr, dfdc))
         f = f.reshape(P, K, C)
@@ -257,7 +260,7 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
     gather materialization in HBM). ``pregathered`` means ``all_patches`` is
     already the per-problem [P,K,ps,ps,C] tensor — the HBM gather was hoisted
     out of the LM while_loop (it is loop-invariant: the same patches serve
-    every iteration's system/cost evaluation). ``rows_spec = (rows, ps, C)``
+    every iteration's system/cost evaluation). ``rows_spec = (rows, H, W, C)``
     is the fastest path: interpolate straight from the flat row view of the
     PACKED array (no per-problem gather at all; the window gather indexes
     ``patch_row * ps`` rows).
@@ -275,10 +278,10 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
         P = x.shape[0]
         kp = x.reshape(P, K, 2)
         if rows_spec is not None:
-            rows, ps, C = rows_spec
-            f, dfdx, dfdy = _eval_keypoints(None, kp, corner, scale, ups,
-                                            interp,
-                                            rows_spec=(rows, ps, C, patch_row))
+            rows, H, W, C = rows_spec
+            f, dfdx, dfdy = _eval_keypoints(
+                None, kp, corner, scale, ups, interp,
+                rows_spec=(rows, H, W, C, patch_row))
         elif pregathered:
             f, dfdx, dfdy = _eval_keypoints(all_patches, kp, corner, scale,
                                             ups, interp)
@@ -355,22 +358,47 @@ def make_ka_system(all_patches, interp: InterpolationConfig, loss: RobustLoss,
 
 
 @lru_cache(maxsize=32)
-def _compiled_descriptor_eval(interp_key):
+def _compiled_descriptor_eval_rows(interp_key, H, W, C):
+    """Windowed descriptor eval against the flat row view of the packed
+    array: 4-row bicubic reads, so dense featuremaps are never replicated
+    per keypoint (a dense 765x1020x128 map fancy-indexed per observation
+    allocates hundreds of GB — the round-2 localization OOM)."""
+    from ..base.interpolation import bicubic_window_eval_rows
+    from ..util.jit_cache import interp_from_key
+
+    interp = interp_from_key(interp_key)
+
+    @jax.jit
+    def run(rows_view, row_base, r, c):
+        f, _, _ = bicubic_window_eval_rows(rows_view, H, W, C, row_base, r, c)
+        if interp.l2_normalize:
+            f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True),
+                                1e-20)
+        return f
+
+    return run
+
+
+@lru_cache(maxsize=32)
+def _compiled_descriptor_eval_single(interp_key):
+    """Per-patch descriptor eval (generic modes): one patch, a batch of
+    queries."""
     from ..base.interpolation import interpolate
     from ..util.jit_cache import interp_from_key
 
     interp = interp_from_key(interp_key)
 
     @jax.jit
-    def run(patches, r, c):
-        return jax.vmap(lambda p, rr, cc: interpolate(p, rr, cc, interp))(
-            patches, r, c)
+    def run(patch, r, c):
+        return jax.vmap(lambda rr, cc: interpolate(patch, rr, cc, interp))(
+            r, c)
 
     return run
 
 
 def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
-                         interp: InterpolationConfig) -> np.ndarray:
+                         interp: InterpolationConfig,
+                         query_chunk: int = 1024) -> np.ndarray:
     """Batched descriptor lookup at image coords (no gradients) — used to freeze
     root/reference descriptors. Returns [N, C] float32. Batch sizes are padded
     to power-of-two buckets so repeat calls hit the compiled cache."""
@@ -378,30 +406,50 @@ def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
 
     rows = np.asarray(rows)
     n = len(rows)
-    n_pad = bucket(n)
-    patches = np.asarray(packed_patches)[rows]
-    if n_pad > n:
-        patches = np.concatenate(
-            [patches, np.zeros((n_pad - n,) + patches.shape[1:],
-                               patches.dtype)])
+    kps = np.asarray(kps, np.float32)
+    corners = np.asarray(corners, np.float32)
+    scales = np.asarray(scales, np.float32)
+    ups = np.asarray(ups, np.float32)
+    uv = (kps * scales - 0.5 - corners) * ups[..., None]
 
-    def pad(a, fill=0.0):
-        a = np.asarray(a, np.float32)
-        if n_pad == n:
-            return a
-        return np.concatenate([a, np.full((n_pad - n,) + a.shape[1:], fill,
-                                          np.float32)])
+    N, H, W, C = packed_patches.shape
+    if interp.mode in ("BICUBIC", "CERES_BICUBIC") and not interp.ncc_normalize:
+        # windowed path: never replicates patches; chunk the query axis so
+        # the [q, 4, W, C] row gather stays bounded on dense maps
+        run = _compiled_descriptor_eval_rows(_interp_key(interp), H, W, C)
+        rows_view = jnp.asarray(packed_patches).reshape(N * H, W, C)
+        out = np.empty((n, C), np.float32)
+        for s in range(0, n, query_chunk):
+            e = min(s + query_chunk, n)
+            q_pad = bucket(e - s, minimum=64)
+            rb = np.zeros(q_pad, np.int64)
+            rb[:e - s] = rows[s:e] * H
+            r = np.zeros(q_pad, np.float32)
+            c = np.zeros(q_pad, np.float32)
+            r[:e - s] = uv[s:e, 1]
+            c[:e - s] = uv[s:e, 0]
+            out[s:e] = np.asarray(run(rows_view, jnp.asarray(rb),
+                                      jnp.asarray(r),
+                                      jnp.asarray(c)))[:e - s]
+        return out
 
-    kps_p = pad(kps)
-    corners_p = pad(corners)
-    scales_p = pad(scales, 1.0)
-    ups_p = pad(ups, 1.0)
-    uv = (kps_p * scales_p - 0.5 - corners_p) * ups_p[..., None]
-
-    run = _compiled_descriptor_eval(_interp_key(interp))
-    out = np.asarray(run(jnp.asarray(patches), jnp.asarray(uv[..., 1]),
-                         jnp.asarray(uv[..., 0])))
-    return out[:n]
+    # generic modes: group queries by patch row (dense maps repeat rows
+    # heavily) and evaluate per unique patch
+    from ..base.interpolation import output_dim
+    run = _compiled_descriptor_eval_single(_interp_key(interp))
+    out = np.empty((n, output_dim(interp.mode, C)), np.float32)
+    uniq, inv = np.unique(rows, return_inverse=True)
+    for u_i, u in enumerate(uniq):
+        sel = np.nonzero(inv == u_i)[0]
+        q_pad = bucket(len(sel), minimum=64)
+        r = np.zeros(q_pad, np.float32)
+        c = np.zeros(q_pad, np.float32)
+        r[:len(sel)] = uv[sel, 1]
+        c[:len(sel)] = uv[sel, 0]
+        patch = jnp.asarray(packed_patches[int(u)])
+        out[sel] = np.asarray(run(patch, jnp.asarray(r),
+                                  jnp.asarray(c)))[:len(sel)]
+    return out
 
 
 def make_target_system(all_patches, interp: InterpolationConfig,
@@ -413,7 +461,7 @@ def make_target_system(all_patches, interp: InterpolationConfig,
     reference residuals/src/feature_reference.h:23-66).
 
     Problem data: patch_row [P], corner/scale [P,2], ups [P], targets [P,T,C],
-    target_w [P,T] (0 = padding). ``rows_spec = (rows, ps, C)`` interpolates
+    target_w [P,T] (0 = padding). ``rows_spec = (rows, H, W, C)`` interpolates
     straight from the flat row view of the packed array (see make_ka_system).
     """
 
@@ -425,10 +473,10 @@ def make_target_system(all_patches, interp: InterpolationConfig,
         if rows_spec is not None:
             from ..base.interpolation import (bicubic_window_eval_rows,
                                               l2_normalize_with_grad)
-            rows, ps, C = rows_spec
-            row_base = patch_row.astype(jnp.int32) * ps
+            rows, H, W, C = rows_spec
+            row_base = patch_row.astype(jnp.int32) * H
             f, dfdr, dfdc = bicubic_window_eval_rows(
-                rows, ps, ps, C, row_base, uv[..., 1], uv[..., 0])
+                rows, H, W, C, row_base, uv[..., 1], uv[..., 0])
             if interp.l2_normalize:
                 f, (dfdr, dfdc) = l2_normalize_with_grad(f, (dfdr, dfdc))
             su = scale * ups[..., None]
@@ -481,10 +529,10 @@ def _compiled_target_chunk(interp_key, loss_key, lm_opts: LMOptions):
         window_ok = (interp.mode in ("BICUBIC", "CERES_BICUBIC")
                      and not interp.ncc_normalize)
         if window_ok:
-            n, ps, _, C = all_patches.shape
-            rows = all_patches.reshape(n * ps, ps, C)  # free bitcast
-            system_fn, cost_fn = make_target_system(None, interp, loss,
-                                                    rows_spec=(rows, ps, C))
+            n, H, W, C = all_patches.shape
+            rows = all_patches.reshape(n * H, W, C)  # free bitcast
+            system_fn, cost_fn = make_target_system(
+                None, interp, loss, rows_spec=(rows, H, W, C))
         else:
             # hoist the loop-invariant patch gather out of the LM while_loop
             patches_p = all_patches[data[0]]
@@ -589,10 +637,10 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
             # LM while_loop (the reshape is a physical tile-layout copy; the
             # window gather then indexes patch_row*ps rows directly — no
             # per-problem [P,K,ps,ps,C] gather at all)
-            n, ps, _, C = all_patches.shape
-            rows = all_patches.reshape(n * ps, ps, C)  # free bitcast
+            n, H, W, C = all_patches.shape
+            rows = all_patches.reshape(n * H, W, C)  # free bitcast
             system_fn, cost_fn = make_ka_system(None, interp, loss, K,
-                                                rows_spec=(rows, ps, C),
+                                                rows_spec=(rows, H, W, C),
                                                 kp_free_mask=kp_free)
         else:
             # hoist the [P,K,ps,ps,C] patch gather out of the LM while_loop:

@@ -218,7 +218,9 @@ class QueryKeypointAdjuster:
             point2D_idxs=point2D_idxs)
 
         patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
-        ps = patches.shape[1]
+        # keypoints are (x, y): the patch box extent is (W, H) — dense
+        # featuremaps are not square
+        ext = np.array([patches.shape[2], patches.shape[1]], np.float64)
 
         if self.conf.get("stack_correspondences"):
             kp_map: Dict[int, List[int]] = defaultdict(list)
@@ -258,7 +260,7 @@ class QueryKeypointAdjuster:
         scale = scales[rows]
         up = ups[rows]
         lo = (corner + 0.5) / scale
-        hi = lo + ps / scale
+        hi = lo + ext / scale
         if bound > 0:
             lo = np.maximum(lo, kp0 - bound / scale)
             hi = np.minimum(hi, kp0 + bound / scale)

@@ -111,6 +111,91 @@ def test_adjuster_factory():
     assert isinstance(adj, FeatureMetricKeypointAdjuster)
 
 
+def make_dense_scene(n_kps=10, seed=0, n_images=3, noise_px=1.2,
+                     H=48, W=80, C=8):
+    """Non-square DENSE featuremaps (one kDensePatchId patch per image).
+
+    Regression scene for the square-patch assumption that broke dense query
+    maps (reshape(n*ps, ps, C) on a 765x1020 map): H != W on purpose."""
+    from pixsfm_tpu.features.featuremaps import kDensePatchId
+
+    rng = np.random.default_rng(seed)
+    field = smooth_field(H=H, W=W, C=C, seed=seed)
+    margin = 6.0
+    true_xy = np.stack([rng.uniform(margin, W - margin, n_kps),
+                        rng.uniform(margin, H - margin, n_kps)], axis=1)
+
+    fset = FeatureSet(channels=C, patch_size=max(H, W), dtype="float32")
+    keypoints = {}
+    names = [f"im{i}.jpg" for i in range(n_images)]
+    for i, name in enumerate(names):
+        kps = true_xy.copy()
+        if i > 0:
+            kps = kps + rng.uniform(-noise_px, noise_px, size=kps.shape)
+        fmap = FeatureMap(is_sparse=False)
+        fmap.patches[kDensePatchId] = FeaturePatch(
+            field.copy(), np.array([0, 0], np.int64), np.array([1.0, 1.0]))
+        fset.emplace(name, fmap)
+        keypoints[name] = kps.astype(np.float64)
+
+    matches = {}
+    for i in range(n_images):
+        for j in range(i + 1, n_images):
+            m = np.stack([np.arange(n_kps), np.arange(n_kps)], axis=1)
+            matches[(names[i], names[j])] = m
+    return field, true_xy, fset, keypoints, matches, names
+
+
+@pytest.mark.parametrize("adjuster_cls", [
+    FeatureMetricKeypointAdjuster, TopologicalReferenceKeypointAdjuster])
+def test_ka_dense_nonsquare(adjuster_cls):
+    """Both KA strategies work on non-square dense featuremaps (the window
+    row-view and the bound boxes must use H and W separately)."""
+    field, true_xy, fset, keypoints, matches, names = make_dense_scene(seed=7)
+    graph = build_matching_graph(matches)
+    adj = adjuster_cls({"interpolation": {"mode": "BICUBIC",
+                                          "l2_normalize": True},
+                        "optimizer": {"loss": {"name": "trivial",
+                                               "params": []}}})
+    before_err = np.mean([np.linalg.norm(keypoints[n] - true_xy, axis=1).mean()
+                          for n in names[1:]])
+    adj.refine_multilevel(keypoints, _Manager(fset), graph)
+    after_err = np.mean([np.linalg.norm(keypoints[n] - keypoints[names[0]],
+                                        axis=1).mean() for n in names[1:]])
+    assert after_err < 0.55, f"dense KA did not converge: {after_err}"
+    assert after_err < before_err * 0.6
+
+
+def test_evaluate_descriptors_dense_nonsquare():
+    """evaluate_descriptors windowed path on a non-square dense map matches
+    direct per-query interpolation."""
+    import jax.numpy as jnp
+    from pixsfm_tpu.base.interpolation import InterpolationConfig, interpolate
+    from pixsfm_tpu.keypoint_adjustment.solver import evaluate_descriptors
+
+    rng = np.random.default_rng(11)
+    H, W, C = 40, 72, 8
+    field = smooth_field(H=H, W=W, C=C, seed=11)
+    n = 37
+    kps = np.stack([rng.uniform(3, W - 3, n), rng.uniform(3, H - 3, n)],
+                   axis=1)
+    packed = field[None]  # [1, H, W, C]
+    rows = np.zeros(n, np.int64)
+    corners = np.zeros((n, 2), np.float32)
+    scales = np.ones((n, 2), np.float32)
+    ups = np.ones(n, np.float32)
+    for l2 in (False, True):
+        interp = InterpolationConfig(mode="BICUBIC", l2_normalize=l2)
+        got = evaluate_descriptors(packed, rows, kps, corners, scales, ups,
+                                   interp, query_chunk=16)
+        uv = kps - 0.5
+        want = np.stack([
+            np.asarray(interpolate(jnp.asarray(field), jnp.asarray(v),
+                                   jnp.asarray(u), interp))
+            for u, v in uv])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_ka_compaction_matches_plain():
     """Segmented convergence compaction reaches the same solution as the
     single-segment solve (warm-restarted damping changes the trajectory,
