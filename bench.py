@@ -367,8 +367,13 @@ def bench_ba_featuremetric(I=20, Np=1000, ps=16, C=128):
     return _per_iter_ms(make_run, state0, obs, ctx)
 
 
-def bench_extract(H=480, W=640, reps=10):
-    """S2DNet (1-level) bf16 dense forward throughput, images/s."""
+def bench_extract(H=480, W=640, reps=20):
+    """S2DNet (1-level) bf16 dense forward throughput, images/s.
+
+    The ``reps`` forwards run inside ONE on-device fori_loop dispatch:
+    per-call dispatch through the remote tunnel costs ~100+ ms and would
+    measure the tunnel, not the chip (the production extractor pipelines
+    many images per dispatch the same way)."""
     import jax
     import jax.numpy as jnp
 
@@ -381,23 +386,23 @@ def bench_extract(H=480, W=640, reps=10):
         model.variables)
 
     @jax.jit
-    def fwd(img):
-        return model.module.apply(variables, img.astype(dt))[0]
+    def loop(img):
+        def body(i, acc):
+            f = model.module.apply(variables, (img + acc * 1e-20).astype(dt))
+            return jnp.sum(f[0].astype(jnp.float32)) * 1e-20
+        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0))
 
     img = jax.jit(lambda k: jax.random.uniform(k, (1, H, W, 3), jnp.float32))(
         jax.random.PRNGKey(0))
     img.block_until_ready()
-    _sync(fwd(img))  # compile
+    _sync(loop(img))  # compile
     t0 = time.time()
-    _sync((img,))
+    _sync((img[0, 0, 0],))
     rtt = time.time() - t0
     best = None
     for _ in range(3):
         t0 = time.time()
-        out = None
-        for _ in range(reps):
-            out = fwd(img)
-        _sync(out)
+        _sync(loop(img))
         dt_run = (time.time() - t0 - rtt) / reps
         best = dt_run if best is None else min(best, dt_run)
     return 1.0 / max(best, 1e-9)
