@@ -1,0 +1,362 @@
+"""Full-resolution sacre_coeur accuracy gate vs bundled ground truth.
+
+Runs the complete pipeline on ALL 10 mapping images at NATIVE resolution and
+compares estimated poses against the reference's bundled GT calibration
+(/root/reference/datasets/sacre_coeur/ground_truth/calibration_*.h5 — the
+same files the reference's demo.ipynb aligns against). This is the only
+real-image accuracy evidence available in a zero-egress environment, and the
+lite mapper's first non-toy trial (round-1 review item #3).
+
+Two arms, mirroring the reference's "raw vs pixsfm" tables:
+
+- ``raw``: SIFT keypoints -> lite mapper (geometric BA inside).
+- ``ka``: DSIFT dense features (the reference's handcrafted-descriptor
+  preset, configs/dsift.yaml — the only featuremetric preset that needs no
+  pretrained weights) -> featuremetric KA -> lite mapper -> feature_reference
+  BA (dsift preset semantics: points only, extrinsics/intrinsics fixed).
+
+Plus a held-out query localization (QKA -> PnP -> QBA) against the KA map.
+
+Metrics (written to EVAL_sacre_coeur.json at the repo root):
+- relative rotation / translation-direction errors over registered GT pairs
+  (alignment- and scale-free)
+- Umeyama-aligned absolute rotation / camera-center errors
+- triangulation & reprojection stats, registration counts, timings
+- query pose error vs its GT calibration
+
+Usage:  python tools/sacre_coeur_gate.py [--out EVAL_sacre_coeur.json]
+        python tools/sacre_coeur_gate.py --check   # envelope-check the JSON
+CPU is forced (the gate must not disturb TPU tunnel benches).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DATASET = Path("/root/reference/datasets/sacre_coeur")
+
+
+def load_gt(names):
+    import h5py
+    gt = {}
+    for name in names:
+        with h5py.File(DATASET / "ground_truth" /
+                       f"calibration_{Path(name).stem}.h5", "r") as f:
+            gt[name] = dict(K=np.asarray(f["K"]), R=np.asarray(f["R"]),
+                            T=np.asarray(f["T"]))
+    return gt
+
+
+def rot_angle_deg(Ra, Rb):
+    c = (np.trace(Ra.T @ Rb) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+def umeyama(src, dst):
+    """Similarity transform (s, R, t) minimizing ||dst - (s R src + t)||."""
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    xs, xd = src - mu_s, dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_s = (xs ** 2).sum() / len(src)
+    s = np.trace(np.diag(D) @ S) / var_s
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def pose_metrics(est, gt):
+    """est/gt: {name: (R, t)} world->cam; est holds REGISTERED images only."""
+    names = sorted(set(est) & set(gt))
+    n = len(names)
+    if n < 3:
+        return dict(n_compared=n, degenerate=True)
+    rel_rot, rel_tdir = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            Ri_e, ti_e = est[names[i]]
+            Rj_e, tj_e = est[names[j]]
+            Ri_g, ti_g = gt[names[i]]
+            Rj_g, tj_g = gt[names[j]]
+            Rij_e = Rj_e @ Ri_e.T
+            Rij_g = Rj_g @ Ri_g.T
+            rel_rot.append(rot_angle_deg(Rij_e, Rij_g))
+            td_e = tj_e - Rij_e @ ti_e
+            td_g = tj_g - Rij_g @ ti_g
+            ne, ng = np.linalg.norm(td_e), np.linalg.norm(td_g)
+            if ne > 1e-9 and ng > 1e-9:
+                cosang = np.clip(np.dot(td_e / ne, td_g / ng), -1, 1)
+                rel_tdir.append(float(np.degrees(np.arccos(cosang))))
+    C_e = np.stack([-est[nm][0].T @ est[nm][1] for nm in names])
+    C_g = np.stack([-gt[nm][0].T @ gt[nm][1] for nm in names])
+    s, Ra, ta = umeyama(C_e, C_g)
+    C_al = (s * (Ra @ C_e.T)).T + ta
+    center_err = np.linalg.norm(C_al - C_g, axis=1)
+    spread = float(np.linalg.norm(C_g.max(0) - C_g.min(0)))
+    abs_rot = [rot_angle_deg(gt[nm][0], est[nm][0] @ Ra.T) for nm in names]
+    return dict(
+        n_compared=n,
+        rel_rotation_err_deg=dict(
+            mean=float(np.mean(rel_rot)), median=float(np.median(rel_rot)),
+            max=float(np.max(rel_rot))),
+        rel_translation_dir_err_deg=dict(
+            mean=float(np.mean(rel_tdir)), median=float(np.median(rel_tdir)),
+            max=float(np.max(rel_tdir))),
+        abs_rotation_err_deg=dict(
+            mean=float(np.mean(abs_rot)), max=float(np.max(abs_rot))),
+        center_err=dict(mean=float(center_err.mean()),
+                        max=float(center_err.max()),
+                        scene_spread=spread,
+                        mean_relative=float(center_err.mean() / spread)),
+    )
+
+
+def registered_poses(rec):
+    from pixsfm_tpu.base.geometry import quat_to_rotmat
+    out = {}
+    for image in rec.images.values():
+        if getattr(image, "registered", True):
+            R = np.asarray(quat_to_rotmat(np.asarray(image.qvec, np.float64)))
+            out[image.name] = (R, np.asarray(image.tvec, np.float64))
+    return out
+
+
+def rec_stats(rec):
+    lens = [len(p.track) for p in rec.points3D.values()]
+    return dict(
+        n_registered=sum(bool(getattr(im, "registered", True))
+                         for im in rec.images.values()),
+        n_points3D=len(rec.points3D),
+        mean_track_length=round(float(np.mean(lens)), 3) if lens else 0.0,
+        mean_reproj_err_px=round(rec.mean_reprojection_error(), 4))
+
+
+def run_frontend(names, gt, nfeatures):
+    import cv2
+    from pixsfm_tpu.base.cameras import Camera
+    from pixsfm_tpu.sfm.two_view import verify_all_pairs
+
+    image_dir = DATASET / "mapping"
+    sift = cv2.SIFT_create(nfeatures=nfeatures)
+    kps, descs, cameras = {}, {}, {}
+    for name in names:
+        img = cv2.imread(str(image_dir / name), cv2.IMREAD_GRAYSCALE)
+        kp, des = sift.detectAndCompute(img, None)
+        kps[name] = np.array([k.pt for k in kp], np.float64) + 0.5
+        descs[name] = des
+        K = gt[name]["K"]
+        h, w = img.shape
+        cameras[name] = Camera(-1, "SIMPLE_PINHOLE", w, h,
+                               [K[0, 0], K[0, 2], K[1, 2]])
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    matches, scores = {}, {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            raw = bf.knnMatch(descs[a], descs[b], k=2)
+            good = [m for m, nn in raw if m.distance < 0.85 * nn.distance]
+            if len(good) < 20:
+                continue
+            matches[(a, b)] = np.array([[g.queryIdx, g.trainIdx]
+                                        for g in good], np.int64)
+            scores[(a, b)] = np.ones(len(good), np.float32)
+    matches, scores = verify_all_pairs(matches, kps, scores)
+    return kps, matches, scores, cameras
+
+
+def check_envelopes(result: dict) -> list:
+    """Accuracy envelopes for the committed EVAL_sacre_coeur.json (measured
+    2026-08 on the 10-image native-res scene; generous margins so SIFT/
+    RANSAC seed jitter does not flake). Returns a list of violations."""
+    bad = []
+
+    def need(cond, msg):
+        if not cond:
+            bad.append(msg)
+
+    need(result["raw"]["n_registered"] == 10, "raw: not all images registered")
+    need(result["ka"]["n_registered"] == 10, "ka: not all images registered")
+    need(result["raw"]["poses"]["rel_rotation_err_deg"]["median"] < 1.5,
+         "raw: median relative rotation error regressed")
+    need(result["raw"]["poses"]["center_err"]["mean_relative"] < 0.02,
+         "raw: relative center error regressed")
+    ka_rot = result["ka"]["poses"]["rel_rotation_err_deg"]["mean"]
+    raw_rot = result["raw"]["poses"]["rel_rotation_err_deg"]["mean"]
+    need(ka_rot < 1.2, f"ka: mean relative rotation error {ka_rot:.2f} > 1.2")
+    need(ka_rot < raw_rot,
+         "ka did not improve mean relative rotation over raw "
+         f"({ka_rot:.2f} vs {raw_rot:.2f})")
+    need(result["ka"]["poses"]["abs_rotation_err_deg"]["mean"]
+         < result["raw"]["poses"]["abs_rotation_err_deg"]["mean"],
+         "ka did not improve absolute rotation over raw")
+    loc = result.get("localization", {})
+    need(loc.get("success") is True, "localization failed")
+    if loc.get("success"):
+        need(loc["num_inliers"] >= 0.5 * loc["n_correspondences"],
+             "localization inlier ratio regressed")
+        need(loc["rotation_err_deg"] < 3.0,
+             "query rotation error regressed")
+        need(loc["center_err_relative"] < 0.01,
+             "query center error regressed")
+    return bad
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", type=Path,
+                        default=Path(__file__).resolve().parent.parent /
+                        "EVAL_sacre_coeur.json")
+    parser.add_argument("--nfeatures", type=int, default=4000)
+    parser.add_argument("--check", action="store_true",
+                        help="envelope-check an existing result JSON")
+    args = parser.parse_args()
+    if args.check:
+        bad = check_envelopes(json.loads(args.out.read_text()))
+        for msg in bad:
+            print("ENVELOPE VIOLATION:", msg)
+        print("ok" if not bad else f"{len(bad)} violations")
+        sys.exit(1 if bad else 0)
+
+    from pixsfm_tpu import load_config, logger
+    from pixsfm_tpu.keypoint_adjustment import build_matching_graph
+    from pixsfm_tpu.refine_hloc import PixSfM
+    from pixsfm_tpu.sfm.mapper import incremental_mapping
+
+    image_dir = DATASET / "mapping"
+    names = sorted(p.name for p in image_dir.glob("*.jpg"))
+    gt = load_gt(names)
+    gt_poses = {n: (gt[n]["R"], gt[n]["T"]) for n in names}
+    result = {"dataset": "sacre_coeur", "n_images": len(names),
+              "resolution": "native", "frontend":
+              f"OpenCV SIFT nfeatures={args.nfeatures}, ratio 0.85, "
+              "exhaustive BF + two-view verification, GT intrinsics"}
+
+    t0 = time.time()
+    kps, matches, scores, cameras = run_frontend(names, gt, args.nfeatures)
+    result["n_verified_pairs"] = len(matches)
+    result["t_frontend_s"] = round(time.time() - t0, 1)
+    logger.info("frontend: %d verified pairs in %.1fs", len(matches),
+                result["t_frontend_s"])
+    graph = build_matching_graph(matches, scores)
+
+    # ------------------------------------------------------------- arm: raw
+    t0 = time.time()
+    rec_raw = incremental_mapping(graph, {n: kps[n].copy() for n in names},
+                                  image_dir, cameras=cameras)
+    arm_raw = rec_stats(rec_raw)
+    arm_raw["t_mapping_s"] = round(time.time() - t0, 1)
+    arm_raw["poses"] = pose_metrics(registered_poses(rec_raw), gt_poses)
+    result["raw"] = arm_raw
+    logger.info("raw arm: %s", json.dumps(arm_raw["poses"]))
+
+    # -------------------------------------------------------------- arm: ka
+    # the reference's dsift preset (configs/dsift.yaml): handcrafted dense
+    # RootSIFT descriptors -> featuremetric KA (bound 4 px) -> feature-
+    # reference BA over points only (refine_extrinsics/focal false there)
+    conf = load_config("dsift")
+    sfm = PixSfM(conf)
+    t0 = time.time()
+    keypoints, _ = sfm.run_ka({n: kps[n].copy() for n in names}, image_dir,
+                              graph=graph)
+    t_ka = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    rec_ka = incremental_mapping(graph, keypoints, image_dir,
+                                 cameras=cameras)
+    arm_ka = rec_stats(rec_ka)
+    arm_ka["t_ka_s"] = t_ka
+    arm_ka["t_mapping_s"] = round(time.time() - t0, 1)
+    arm_ka["poses"] = pose_metrics(registered_poses(rec_ka), gt_poses)
+    logger.info("ka arm: %s", json.dumps(arm_ka["poses"]))
+
+    t0 = time.time()
+    ba_out = sfm.run_ba(rec_ka, image_dir)
+    arm_ka["t_ba_s"] = round(time.time() - t0, 1)
+    arm_ka["ba_cost"] = {k: ba_out[k] for k in ("initial_cost", "final_cost")
+                         if k in ba_out}
+    arm_ka["after_fm_ba"] = rec_stats(rec_ka)
+    result["ka"] = arm_ka
+
+    # ------------------------------------------------- query localization
+    # hold out the best-connected non-init image: rebuild the map without it,
+    # then QKA -> PnP -> QBA against the reduced map's references
+    try:
+        from pixsfm_tpu.localization import QueryLocalizer
+        from pixsfm_tpu.localize import build_query_correspondences
+
+        reg_names = sorted(registered_poses(rec_ka))
+        query_name = reg_names[-1]
+        map_matches = {k: v for k, v in matches.items()
+                       if query_name not in k}
+        map_scores = {k: scores[k] for k in map_matches}
+        graph_q = build_matching_graph(map_matches, map_scores)
+        map_names = [n for n in names if n != query_name]
+        kq, _ = sfm.run_ka({n: kps[n].copy() for n in map_names}, image_dir,
+                           graph=graph_q)
+        rec_q = incremental_mapping(graph_q, kq, image_dir,
+                                    cameras={n: cameras[n]
+                                             for n in map_names})
+        p2D_idxs, p3D_ids = build_query_correspondences(
+            rec_q, query_name, list(matches.keys()), matches)
+        loc = QueryLocalizer(rec_q,
+                             conf={**conf.get("localization", {}),
+                                   "dense_features":
+                                   conf["dense_features"]},
+                             image_dir=image_dir)
+        pose = loc.localize(kps[query_name], p2D_idxs, p3D_ids,
+                            cameras[query_name],
+                            image_path=image_dir / query_name)
+        qres = dict(query=query_name, success=bool(pose.get("success")),
+                    num_inliers=int(pose.get("num_inliers", 0)),
+                    n_correspondences=len(p2D_idxs))
+        if pose.get("success"):
+            # align the reduced map to GT on its registered cameras, then
+            # map the query pose into the GT frame
+            est = registered_poses(rec_q)
+            common = sorted(set(est) & set(gt_poses))
+            C_e = np.stack([-est[nm][0].T @ est[nm][1] for nm in common])
+            C_g = np.stack([-gt_poses[nm][0].T @ gt_poses[nm][1]
+                            for nm in common])
+            s, Ra, ta = umeyama(C_e, C_g)
+            from pixsfm_tpu.base.geometry import quat_to_rotmat
+            Rq = np.asarray(quat_to_rotmat(np.asarray(pose["qvec"],
+                                                      np.float64)))
+            tq = np.asarray(pose["tvec"], np.float64)
+            Cq = -Rq.T @ tq
+            Cq_al = s * Ra @ Cq + ta
+            Rq_al = Rq @ Ra.T
+            Cq_gt = -gt[query_name]["R"].T @ gt[query_name]["T"]
+            qres["rotation_err_deg"] = rot_angle_deg(gt[query_name]["R"],
+                                                     Rq_al)
+            qres["center_err"] = float(np.linalg.norm(Cq_al - Cq_gt))
+            qres["center_err_relative"] = float(
+                qres["center_err"]
+                / result["raw"]["poses"]["center_err"]["scene_spread"])
+        result["localization"] = qres
+        logger.info("localization: %s", json.dumps(qres))
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+        result["localization"] = {"error": f"{type(e).__name__}: {e}"}
+
+    args.out.write_text(json.dumps(result, indent=1) + "\n")
+    logger.info("wrote %s", args.out)
+
+
+if __name__ == "__main__":
+    main()
