@@ -367,6 +367,75 @@ def bench_ba_featuremetric(I=20, Np=1000, ps=16, C=128):
     return _per_iter_ms(make_run, state0, obs, ctx)
 
 
+def bench_ba_large(I=200, Np=500_000, track=4):
+    """Large-scale geometric BA per-LM-iteration: 500k points / 2M
+    observations (track length 4) — the reference's 7k-image regime scale
+    axis (README.md:291). Exercises the point-major [Np, T] scatter-free
+    reductions (ops/schur.py make_point_major) + CG Schur."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixsfm_tpu.base.losses import RobustLoss
+    from pixsfm_tpu.bundle_adjustment.main import (_RESIDUAL_BUILDERS,
+                                                   _RESIDUAL_JAC_BUILDERS)
+    from pixsfm_tpu.ops.schur import (BAObservations, BAOptions, BAState,
+                                      ba_solve, make_point_major)
+
+    rng = np.random.default_rng(7)
+    O = Np * track
+    xyz = rng.uniform(-1, 1, (Np, 3)).astype(np.float32)
+    # camera ring (reuse the small-scene generator's poses)
+    qvec, tvec, cams, _, _, _ = _ring_scene(I, 4)
+    # each point seen by `track` consecutive cameras starting at a random slot
+    start = rng.integers(0, I, Np)
+    img_of = ((start[:, None] + np.arange(track)[None]) % I).astype(np.int32)
+    img_idx = img_of.reshape(-1)                      # [O] point-major order
+    pt_idx = np.repeat(np.arange(Np, dtype=np.int32), track)
+
+    # project on host (numpy, exact same model as _ring_scene.proj)
+    def rot(qv):
+        w, x, y, z = qv
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+    xy = np.empty((O, 2), np.float32)
+    for i in range(I):
+        m = img_idx == i
+        xc = xyz[pt_idx[m]] @ rot(qvec[i]).T + tvec[i]
+        uv = xc[:, :2] / xc[:, 2:3]
+        d = 1 + cams[0, 3] * (uv ** 2).sum(1, keepdims=True)
+        xy[m] = cams[0, 0] * uv * d + cams[0, 1:3]
+    xy += rng.normal(0, 0.5, xy.shape).astype(np.float32)
+
+    model = "SIMPLE_RADIAL"
+    rfn = _RESIDUAL_BUILDERS["geometric"]((model,))
+    jfn = _RESIDUAL_JAC_BUILDERS["geometric"]((model,))
+    state0 = BAState(
+        jnp.asarray(qvec),
+        jnp.asarray(tvec + rng.normal(0, 0.01, tvec.shape).astype(np.float32)),
+        jnp.asarray(cams),
+        jnp.asarray(xyz + rng.normal(0, 0.01, xyz.shape).astype(np.float32)))
+    obs = BAObservations(
+        img_idx=jnp.asarray(img_idx),
+        cam_idx=jnp.asarray(np.zeros(O, np.int32)),
+        pt_idx=jnp.asarray(pt_idx),
+        obs_data=jnp.asarray(xy), valid=jnp.ones((O,), bool),
+        pair_o1=jnp.zeros(4, jnp.int32) + O,
+        pair_o2=jnp.zeros(4, jnp.int32) + O,
+        pt_slot=jnp.asarray(make_point_major(pt_idx, Np, O)))
+    loss = RobustLoss("trivial")
+    args = _ba_gauge_args(I, Np, 4)
+
+    def make_run(iters):
+        opts = BAOptions(max_iterations=iters, linear_solver="cg",
+                         obs_chunk=65536, max_linear_solver_iterations=25)
+        return jax.jit(lambda s, o: ba_solve(
+            rfn, s, o, loss, *args, opts=opts, residual_jac_fn=jfn))
+
+    return _per_iter_ms(make_run, state0, obs)
+
+
 def bench_extract(H=480, W=640, reps=20):
     """S2DNet (1-level) bf16 dense forward throughput, images/s.
 
@@ -442,6 +511,7 @@ def main():
     for key, fn in (("ba_lm_ms_per_iter_80k_obs", bench_ba_geometric),
                     ("fm_ba_lm_ms_per_iter_20k_obs_c128",
                      bench_ba_featuremetric),
+                    ("ba_lm_ms_per_iter_2m_obs_500k_pts", bench_ba_large),
                     ("extract_imgs_per_s", bench_extract)):
         try:
             out[key] = round(fn(), 2)

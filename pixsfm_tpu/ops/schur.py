@@ -73,6 +73,16 @@ class BAOptions:
     # and lets the trust region guard descent; a tight tolerance wastes CG
     # iterations on directions LM will re-damp anyway.
     linear_solver_tol: float = 0.1
+    # per-iteration progress logging from inside the jitted LM loop
+    # (jax.debug.callback; the analogue of Ceres
+    # minimizer_progress_to_stdout + the reference's progressbars,
+    # base/src/callbacks.h:10-37 / simple_logger.h:157-188)
+    progress: bool = False
+    # >0: the host dispatches the LM loop in segments of this many
+    # iterations, re-entering with warm-restarted damping — progress is
+    # reported and Ctrl-C lands between segments with the best-so-far
+    # state kept (PyInterruptCallback parity)
+    segment_iterations: int = 0
 
     @classmethod
     def from_solver_conf(cls, conf, **overrides) -> "BAOptions":
@@ -91,6 +101,8 @@ class BAOptions:
             max_linear_solver_iterations=int(
                 get("max_linear_solver_iterations", 100) or 100),
             linear_solver_tol=float(get("linear_solver_tol", 0.1) or 0.1),
+            progress=bool(get("minimizer_progress_to_stdout", False)),
+            segment_iterations=int(get("segment_iterations", 0) or 0),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -116,6 +128,13 @@ class BAObservations(NamedTuple):
     # reference: patch_warp_bundle_optimizer.h source pose parameter block).
     # None -> single pose block per observation.
     src_idx: Optional[jnp.ndarray] = None   # [O] int32 -> image slot
+    # optional point-major index table [Np, T] (make_point_major): row p
+    # lists the observation indices of point p's track, empty slots = O
+    # (a zero sentinel row). When present, every point-side segment
+    # reduction becomes gather -> reshape -> sum over T — scatter-free at
+    # millions of points, where the one-hot matmul's [Np, n] operand blows
+    # its budget and the code would otherwise fall back to scatter-adds.
+    pt_slot: Optional[jnp.ndarray] = None   # [Np, T] int32 -> obs index | O
 
 
 class _LMState(NamedTuple):
@@ -152,6 +171,30 @@ def make_pair_list(pt_idx: np.ndarray, n_points: int
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     return (np.concatenate(o1).astype(np.int32),
             np.concatenate(o2).astype(np.int32))
+
+
+def make_point_major(pt_idx: np.ndarray, n_points: int, zero_slot: int,
+                     min_T: int = 4) -> np.ndarray:
+    """Point-major observation table [n_points, T] (host side, vectorized).
+
+    Row p holds the indices (into the observation axis) of point p's
+    observations; empty slots hold ``zero_slot`` (callers append one zero
+    row at that index before gathering). T = max track length, rounded up
+    to a power of two so repeat solves share compiled programs. Pass only
+    REAL observation rows in ``pt_idx`` (padding rows contribute zero to
+    every segment sum anyway and would inflate T)."""
+    pt_idx = np.asarray(pt_idx)
+    order = np.argsort(pt_idx, kind="stable")
+    sorted_pts = pt_idx[order]
+    starts = np.searchsorted(sorted_pts, np.arange(n_points), side="left")
+    counts = np.searchsorted(sorted_pts, np.arange(n_points),
+                             side="right") - starts
+    T = max(int(counts.max(initial=1)), 1)
+    T = max(1 << int(np.ceil(np.log2(T))), min_T)
+    out = np.full((n_points, T), zero_slot, np.int32)
+    cols = np.arange(len(order)) - starts[sorted_pts]
+    out[sorted_pts, cols] = order
+    return out
 
 
 # one-hot segment-sum budget: S targets x n items. XLA fuses the index
@@ -229,7 +272,9 @@ def ba_solve(residual_fn: Callable,
              point_free: jnp.ndarray,     # [Np] bool
              opts: BAOptions = BAOptions(),
              ctx=(),
-             residual_jac_fn: Optional[Callable] = None
+             residual_jac_fn: Optional[Callable] = None,
+             lam0=None,
+             max_iters=None
              ) -> Tuple[BAState, Dict]:
     """Run the Schur LM.
 
@@ -267,6 +312,19 @@ def ba_solve(residual_fn: Callable,
                          "(patch-warp uses the jacfwd path)")
     PB = 12 if has_src else 6        # pose tangent rows per observation
     NR = PB + k                      # camera-side rows per observation
+    use_pm = obs.pt_slot is not None  # point-major [Np, T] reductions
+
+    def pt_segment_sum(vals):
+        """Per-point reduction of per-observation values [O, ...] -> [Np, ...].
+
+        Point-major path: gather the [Np, T] track table (+1 zero sentinel
+        row) and sum over T — a reshape-shaped reduction with no scatter and
+        no [Np, O] one-hot operand, exact at any point count."""
+        if not use_pm:
+            return _segment_sum(obs.pt_idx, Np, vals)
+        z = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
+        padded = jnp.concatenate([vals, z], axis=0)
+        return jnp.sum(padded[obs.pt_slot], axis=1)
 
     pose_mask6 = jnp.repeat(pose_free[:, None], 6, axis=1).at[:, 3:].set(
         tvec_free & pose_free[:, None])                       # [I, 6]
@@ -363,15 +421,21 @@ def ba_solve(residual_fn: Callable,
                     [jnp.einsum("oca,ocb->oab", w * Jc, Jc)
                      .reshape(n, k * k),
                      jnp.einsum("oca,oc->oa", w * Jc, r)], axis=1))
-            out["pt_acc"] = carry["pt_acc"] + _segment_sum(
-                pt, Np, jnp.concatenate(
-                    [jnp.einsum("oca,ocb->oab", w * Jx, Jx).reshape(n, 9),
-                     jnp.einsum("oca,oc->oa", w * Jx, r)], axis=1))
+            ptv = jnp.concatenate(
+                [jnp.einsum("oca,ocb->oab", w * Jx, Jx).reshape(n, 9),
+                 jnp.einsum("oca,oc->oa", w * Jx, r)], axis=1)
             # per-obs W blocks for the Schur pair reduction (small:
             # [O,NR,3]) are emitted as stacked scan outputs — chunks are
             # consecutive index ranges, so no scatter is needed (padded
             # tail rows carry w=0 and are sliced off after the scan).
             ys = dict(B=jnp.einsum("oca,ocb->oab", w * Jcam, Jx))
+            if use_pm:
+                # point-major: stack per-obs point values; reduce once after
+                # the scan through the [Np, T] table (no per-chunk one-hot
+                # against a multi-million-row point axis)
+                ys["ptv"] = ptv
+            else:
+                out["pt_acc"] = carry["pt_acc"] + _segment_sum(pt, Np, ptv)
             if has_src:
                 src = obs.src_idx[ois]
                 Js = J[:, :, 6:12]
@@ -391,8 +455,9 @@ def ba_solve(residual_fn: Callable,
             carry.update(
                 img_acc=jnp.zeros((I, img_d), jnp.float32),
                 cam_acc=jnp.zeros((Nc, k * k + k), jnp.float32),
-                pt_acc=jnp.zeros((Np, 12), jnp.float32),
             )
+            if not use_pm:
+                carry["pt_acc"] = jnp.zeros((Np, 12), jnp.float32)
             if has_src:
                 carry["src_acc"] = jnp.zeros((I, 42), jnp.float32)
         carry, ys = jax.lax.scan(chunk_fn, carry,
@@ -402,7 +467,8 @@ def ba_solve(residual_fn: Callable,
         # split the concatenated per-target accumulators back into blocks
         img_acc = carry.pop("img_acc")
         cam_acc = carry.pop("cam_acc")
-        pt_acc = carry.pop("pt_acc")
+        pt_acc = (pt_segment_sum(ys["ptv"].reshape(pad_O, 12)[:O])
+                  if use_pm else carry.pop("pt_acc"))
         carry["Hpp"] = img_acc[:, :36].reshape(I, 6, 6)
         carry["gp"] = img_acc[:, 36:42]
         if has_src:
@@ -533,7 +599,7 @@ def ba_solve(residual_fn: Callable,
                 # W^T v per obs -> per point
                 s_o = jnp.einsum("oa,oab->ob", gather_rows(vp, vc),
                                  B)               # [O, 3]
-                t_p = _segment_sum(obs.pt_idx, Np, s_o)
+                t_p = pt_segment_sum(s_o)
                 w_p = jnp.einsum("pab,pb->pa", Vinv, t_p)
                 u_o = jnp.einsum("oab,ob->oa", B, w_p[obs.pt_idx])  # [O,NR]
                 up, uc = scatter_rows(u_o)
@@ -563,8 +629,7 @@ def ba_solve(residual_fn: Callable,
             d_pose = -dp_neg * pose_mask6.astype(jnp.float32)
             d_cam = -dc_neg * cam_mask.astype(jnp.float32)
 
-            t = _segment_sum(
-                obs.pt_idx, Np,
+            t = pt_segment_sum(
                 jnp.einsum("oab,oa->ob", B, gather_rows(d_pose, d_cam)))
             d_xyz = -jnp.einsum("pab,pb->pa", Vinv, gx + t) * pt_mask
 
@@ -671,8 +736,7 @@ def ba_solve(residual_fn: Callable,
 
         # back-substitute points: dx = -Vinv (gx + sum_obs B^T dcam_of_obs)
         dcam_obs = dc_full[obs_rows]                             # [O, NR]
-        t = _segment_sum(obs.pt_idx, Np,
-                         jnp.einsum("oab,oa->ob", B, dcam_obs))
+        t = pt_segment_sum(jnp.einsum("oab,oa->ob", B, dcam_obs))
         d_xyz = -jnp.einsum("pab,pb->pa", Vinv, gx + t)
         d_xyz = d_xyz * pt_mask
 
@@ -721,8 +785,10 @@ def ba_solve(residual_fn: Callable,
         sys0 = {}
         cost0 = cost_at(state0)
 
+    iter_cap = opts.max_iterations if max_iters is None else max_iters
+
     def cond(ls: _LMState):
-        return (ls.it < opts.max_iterations) & ~ls.done
+        return (ls.it < iter_cap) & ~ls.done
 
     def body(ls: _LMState):
         if carry_sys:
@@ -783,11 +849,22 @@ def ba_solve(residual_fn: Callable,
         best_state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(improve, b, a), ls.best_state, state)
         best_cost = jnp.where(improve, cost_after, ls.best_cost)
+        if opts.progress:
+            def _report(it, cost, cand_cost, lam_v, acc):
+                print(f"  LM iter {int(it):4d}: cost {float(cost):.6g} "
+                      f"(candidate {float(cand_cost):.6g}, "
+                      f"lambda {float(lam_v):.2e}, "
+                      f"{'accepted' if bool(acc) else 'rejected'})",
+                      flush=True)
+            jax.debug.callback(_report, ls.it, cost_after, new_cost, ls.lam,
+                               accept, ordered=False)
         return _LMState(state, sysd_out, lam, nu, cost_after, done, ls.it + 1,
                         ls.iters_used + 1, window, best_state, best_cost)
 
     W = max(int(opts.nonmonotonic_window), 1)
-    init = _LMState(state0, sys0, jnp.asarray(opts.initial_lambda, jnp.float32),
+    lam_init = (jnp.asarray(opts.initial_lambda, jnp.float32)
+                if lam0 is None else jnp.asarray(lam0, jnp.float32))
+    init = _LMState(state0, sys0, lam_init,
                     jnp.asarray(2.0, jnp.float32), cost0,
                     jnp.asarray(False), jnp.asarray(0, jnp.int32),
                     jnp.asarray(0, jnp.int32),
@@ -800,5 +877,6 @@ def ba_solve(residual_fn: Callable,
         lambda a, b: jnp.where(better, b, a), final.state, final.best_state)
     summary = dict(initial_cost=cost0,
                    final_cost=jnp.minimum(final.cost, final.best_cost),
-                   iterations=final.iters_used)
+                   iterations=final.iters_used,
+                   lam=final.lam, done=final.done)
     return out_state, summary
