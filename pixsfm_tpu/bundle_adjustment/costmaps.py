@@ -187,10 +187,10 @@ def costmap_ba(adjuster, reconstruction: Reconstruction,
 
     flags = adjuster._optimizer_flags()
     packed = pack_ba_problem(reconstruction, problem_setup, **flags)
-    if len(packed.cam_models) > 1:
-        raise NotImplementedError(
-            f"costmap BA with mixed camera models: {packed.cam_models}")
-    model = packed.cam_model
+    # mixed camera models: per-observation lax.switch projection (see
+    # _build_costmap); homogeneous scenes keep the single static model
+    mixed = len(packed.cam_models) > 1
+    model = packed.cam_models if mixed else packed.cam_model
     loss = make_loss(conf.optimizer.get("loss"))
     opts = adjuster._ba_options()
 
@@ -219,10 +219,12 @@ def costmap_ba(adjuster, reconstruction: Reconstruction,
            jnp.asarray(pf.corners.astype(np.float32)),
            jnp.asarray(pf.scales.astype(np.float32)),
            jnp.asarray(pf.upsampling.astype(np.float32)))
+    obs_data = ((rows, packed.cam_model_idx[packed.obs_cam].astype(np.int32))
+                if mixed else rows)
     return adjuster._run_ba_cached(
         reconstruction, packed,
         ("costmap", model, interp_static_key(interp_cm)),
-        rows, ctx, loss, opts, obs_valid=obs_valid)
+        obs_data, ctx, loss, opts, obs_valid=obs_valid)
 
 
 def _required_from_packed(reconstruction, packed) -> Dict[str, list]:

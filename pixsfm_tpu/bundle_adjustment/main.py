@@ -62,19 +62,30 @@ def _safe_project(model, cam, qvec, tvec, X):
     return img_from_cam(model, cam, uv)
 
 
+def _is_mixed(model):
+    return isinstance(model, tuple) and len(model) > 1
+
+
+def _switch_project(models, mi, cam, qvec, tvec, X):
+    """Per-observation camera-model dispatch: static per-model projection
+    code, traced branch selection (reference: the camera-switch macros in
+    residuals/src/featuremetric.h:246-258)."""
+    branches = [
+        (lambda m: lambda a: _safe_project(m, *a))(m) for m in models]
+    return jax.lax.switch(mi, branches, (cam, qvec, tvec, X))
+
+
 def _build_geometric(model):
     """model: camera-model name, or a tuple of names for mixed-model
     problems — each observation then carries its model index and the
     projection branch is chosen with ``lax.switch`` (static per-model code,
     traced selection; jacfwd flows through the taken branch)."""
-    if isinstance(model, tuple) and len(model) > 1:
+    if _is_mixed(model):
         models = model
 
         def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
             xy_obs, mi = obs_slice
-            branches = [
-                (lambda m: lambda a: _safe_project(m, *a))(m) for m in models]
-            xy = jax.lax.switch(mi, branches, (cam, qvec, tvec, X))
+            xy = _switch_project(models, mi, cam, qvec, tvec, X)
             return xy - xy_obs
         return residual_fn
 
@@ -90,11 +101,18 @@ def _build_geometric(model):
 def _build_feature_reference(model, interp_key):
     from ..util.jit_cache import interp_from_key
     interp = interp_from_key(interp_key)
+    mixed = _is_mixed(model)
+    if isinstance(model, tuple) and not mixed:
+        model = model[0]
 
     def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
-        row, target = obs_slice
+        if mixed:
+            row, target, mi = obs_slice
+            xy = _switch_project(model, mi, cam, qvec, tvec, X)
+        else:
+            row, target = obs_slice
+            xy = _safe_project(model, cam, qvec, tvec, X)
         patches, corners, scales, ups = ctx
-        xy = _safe_project(model, cam, qvec, tvec, X)
         pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
         from ..base.interpolation import (bounds_violation,
                                           interpolate_residual)
@@ -111,11 +129,18 @@ def _build_feature_reference(model, interp_key):
 def _build_costmap(model, interp_key):
     from ..util.jit_cache import interp_from_key
     interp = interp_from_key(interp_key)
+    mixed = _is_mixed(model)
+    if isinstance(model, tuple) and not mixed:
+        model = model[0]
 
     def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
-        row = obs_slice
+        if mixed:
+            row, mi = obs_slice
+            xy = _switch_project(model, mi, cam, qvec, tvec, X)
+        else:
+            row = obs_slice
+            xy = _safe_project(model, cam, qvec, tvec, X)
         patches, corners, scales, ups = ctx
-        xy = _safe_project(model, cam, qvec, tvec, X)
         pc = (xy * scales[row] - 0.5 - corners[row]) * ups[row]
         from ..base.interpolation import (bounds_violation,
                                           interpolate_residual)
@@ -152,30 +177,37 @@ def _jac_cat(Jp, Jc, Jx):
     return jnp.concatenate([Jp, Jc, Jx], axis=1)
 
 
+def _switch_project_with_jac(models, mi, cam, qvec, tvec, X):
+    """Mixed-model closed-form projection Jacobian: per-model branches with
+    the intrinsics columns padded to the widest model's parameter count.
+    Returns (pix [2], J [2, 6+k_max+3])."""
+    from ..base.cameras import CAMERA_MODELS
+    from ..base.projection import project_with_jac
+    k_max = cam.shape[0]
+
+    def branch(m):
+        km = CAMERA_MODELS[m].num_params
+
+        def f(a):
+            cam_, q_, t_, X_ = a
+            pix, Jp, Jc, Jx = project_with_jac(m, cam_[:km], q_, t_, X_)
+            Jc = jnp.pad(Jc, ((0, 0), (0, k_max - km)))
+            return pix, _jac_cat(Jp, Jc, Jx)
+        return f
+
+    return jax.lax.switch(mi, [branch(m) for m in models],
+                          (cam, qvec, tvec, X))
+
+
 def _build_geometric_jac(model):
     from ..base.projection import project_with_jac
 
-    if isinstance(model, tuple) and len(model) > 1:
-        from ..base.cameras import CAMERA_MODELS
+    if _is_mixed(model):
         models = model
 
         def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
             xy_obs, mi = obs_slice
-            k_max = cam.shape[0]
-
-            def branch(m):
-                km = CAMERA_MODELS[m].num_params
-
-                def f(a):
-                    cam_, q_, t_, X_ = a
-                    pix, Jp, Jc, Jx = project_with_jac(m, cam_[:km], q_, t_,
-                                                       X_)
-                    Jc = jnp.pad(Jc, ((0, 0), (0, k_max - km)))
-                    return pix, _jac_cat(Jp, Jc, Jx)
-                return f
-
-            pix, J = jax.lax.switch(mi, [branch(m) for m in models],
-                                    (cam, qvec, tvec, X))
+            pix, J = _switch_project_with_jac(models, mi, cam, qvec, tvec, X)
             return pix - xy_obs, J
         return residual_jac_fn
 
@@ -220,18 +252,24 @@ def _build_feature_reference_jac(model, interp_key):
     from ..util.jit_cache import interp_from_key
     from ..base.projection import project_with_jac
     interp = interp_from_key(interp_key)
-    if interp.ncc_normalize or (isinstance(model, tuple) and len(model) > 1):
+    if interp.ncc_normalize:
         return None
-    if isinstance(model, tuple):
+    mixed = _is_mixed(model)
+    if isinstance(model, tuple) and not mixed:
         model = model[0]
 
     def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
-        row, target = obs_slice
+        if mixed:
+            row, target, mi = obs_slice
+            pix, Jpix = _switch_project_with_jac(model, mi, cam, qvec, tvec,
+                                                 X)
+        else:
+            row, target = obs_slice
+            pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
+            Jpix = _jac_cat(Jp, Jc, Jx)
         patches, corners, scales, ups = ctx
-        pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
-        f, J = _interp_residual_jac(interp, patches, row, pix,
-                                    _jac_cat(Jp, Jc, Jx), scales[row],
-                                    ups[row], corners[row])
+        f, J = _interp_residual_jac(interp, patches, row, pix, Jpix,
+                                    scales[row], ups[row], corners[row])
         r = f.at[:target.shape[0]].add(-target) if interp.check_bounds \
             else f - target
         return r, J
@@ -242,18 +280,24 @@ def _build_costmap_jac(model, interp_key):
     from ..util.jit_cache import interp_from_key
     from ..base.projection import project_with_jac
     interp = interp_from_key(interp_key)
-    if interp.ncc_normalize or (isinstance(model, tuple) and len(model) > 1):
+    if interp.ncc_normalize:
         return None
-    if isinstance(model, tuple):
+    mixed = _is_mixed(model)
+    if isinstance(model, tuple) and not mixed:
         model = model[0]
 
     def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
-        row = obs_slice
+        if mixed:
+            row, mi = obs_slice
+            pix, Jpix = _switch_project_with_jac(model, mi, cam, qvec, tvec,
+                                                 X)
+        else:
+            row = obs_slice
+            pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
+            Jpix = _jac_cat(Jp, Jc, Jx)
         patches, corners, scales, ups = ctx
-        pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
-        return _interp_residual_jac(interp, patches, row, pix,
-                                    _jac_cat(Jp, Jc, Jx), scales[row],
-                                    ups[row], corners[row])
+        return _interp_residual_jac(interp, patches, row, pix, Jpix,
+                                    scales[row], ups[row], corners[row])
     return residual_jac_fn
 
 
@@ -277,10 +321,12 @@ def _compiled_ba_run(residual_key, loss_key, opts):
     loss = RobustLoss(loss_key[0], list(loss_key[1]))
 
     @jax.jit
-    def run(state0, obs, ctx, pose_free, tvec_free, cam_free, point_free):
+    def run(state0, obs, ctx, pose_free, tvec_free, cam_free, point_free,
+            lam0=None, max_iters=None):
         return _ba_solve(residual_fn, state0, obs, loss, pose_free,
                          tvec_free, cam_free, point_free, opts=opts, ctx=ctx,
-                         residual_jac_fn=residual_jac_fn)
+                         residual_jac_fn=residual_jac_fn, lam0=lam0,
+                         max_iters=max_iters)
 
     return run
 
@@ -384,6 +430,19 @@ class BundleAdjuster:
         pair_o1 = pad_to(pair_o1, Q_pad, O)   # pad pairs -> invalid obs slot
         pair_o2 = pad_to(pair_o2, Q_pad, O)
 
+        # large-Np regime: switch the point-side segment reductions to the
+        # point-major [Np, T] table (scatter-free gather+sum) when the
+        # one-hot matmul would blow its operand budget AND the max track
+        # length keeps the table's padding waste bounded
+        from ..ops.schur import _ONEHOT_BUDGET, make_point_major
+        pt_slot = None
+        T_max = int(track_lens.max(initial=1))
+        T_b = max(1 << int(np.ceil(np.log2(max(T_max, 1)))), 4)
+        if (Np_pad * opts.obs_chunk > _ONEHOT_BUDGET
+                and Np_pad * T_b <= 4 * O_pad):
+            pt_slot = jnp.asarray(
+                make_point_major(packed.obs_pt, Np_pad, O_pad))
+
         valid = np.zeros(O_pad, bool)
         valid[:O] = True if obs_valid is None else np.asarray(obs_valid, bool)
         obs = BAObservations(
@@ -393,7 +452,8 @@ class BundleAdjuster:
             obs_data=jax.tree_util.tree_map(
                 lambda a: jnp.asarray(pad_to(a, O_pad)), obs_data),
             valid=jnp.asarray(valid),
-            pair_o1=jnp.asarray(pair_o1), pair_o2=jnp.asarray(pair_o2))
+            pair_o1=jnp.asarray(pair_o1), pair_o2=jnp.asarray(pair_o2),
+            pt_slot=pt_slot)
         xyz = pad_to(packed.xyz, Np_pad).astype(np.float32)
         xyz[Np:] = [0.0, 0.0, 10.0]  # padded points safely in front
         state0 = BAState(jnp.asarray(packed.qvec), jnp.asarray(packed.tvec),
@@ -413,18 +473,62 @@ class BundleAdjuster:
                 "obs_chunk (currently %d).", jac_bytes / 2 ** 30,
                 opts.obs_chunk)
 
-        run = _compiled_ba_run(residual_key,
-                               (loss.name, tuple(loss.params)), opts)
-        state, summary = run(
-            state0, obs, ctx,
-            jnp.asarray(packed.pose_free),
-            jnp.asarray(packed.tvec_free),
-            jnp.asarray(packed.cam_free),
-            jnp.asarray(pad_to(packed.point_free, Np_pad, False)))
+        free_args = (jnp.asarray(packed.pose_free),
+                     jnp.asarray(packed.tvec_free),
+                     jnp.asarray(packed.cam_free),
+                     jnp.asarray(pad_to(packed.point_free, Np_pad, False)))
+        seg = int(opts.segment_iterations)
+        if seg <= 0:
+            run = _compiled_ba_run(residual_key,
+                                   (loss.name, tuple(loss.params)), opts)
+            state, summary = run(state0, obs, ctx, *free_args)
+            out = {k: float(v) for k, v in summary.items()
+                   if k not in ("lam", "done")}
+        else:
+            # segmented dispatch: re-enter the compiled LM loop every `seg`
+            # iterations with warm-restarted damping. Progress is reported
+            # and Ctrl-C lands between segments with the best-so-far state
+            # kept (reference PyInterruptCallback semantics,
+            # base/src/callbacks.h:10-37).
+            import dataclasses
+            seg_opts = dataclasses.replace(opts, max_iterations=seg)
+            run = _compiled_ba_run(residual_key,
+                                   (loss.name, tuple(loss.params)), seg_opts)
+            state = state0
+            lam = jnp.asarray(opts.initial_lambda, jnp.float32)
+            out = {}
+            iters_total = 0
+            interrupted = False
+            try:
+                while iters_total < opts.max_iterations:
+                    cap = min(seg, opts.max_iterations - iters_total)
+                    state_n, summary = run(state, obs, ctx, *free_args,
+                                           lam0=lam,
+                                           max_iters=jnp.asarray(
+                                               cap, jnp.int32))
+                    s = {k: float(v) for k, v in summary.items()}
+                    state = state_n
+                    lam = summary["lam"]
+                    iters_total += int(s["iterations"])
+                    out.setdefault("initial_cost", s["initial_cost"])
+                    out["final_cost"] = s["final_cost"]
+                    logger.info("BA progress: cost %.6g (%d/%d iterations)",
+                                s["final_cost"], iters_total,
+                                opts.max_iterations)
+                    if s["done"] or int(s["iterations"]) < cap:
+                        break
+            except KeyboardInterrupt:
+                interrupted = True
+                logger.warning("BA interrupted; keeping the state of the "
+                               "last completed segment (%d iterations).",
+                               iters_total)
+            out.setdefault("initial_cost", float("nan"))
+            out.setdefault("final_cost", out["initial_cost"])
+            out["iterations"] = iters_total
+            out["interrupted"] = interrupted
         packed.unpack_into(reconstruction, np.asarray(state.qvec),
                            np.asarray(state.tvec), np.asarray(state.cams),
                            np.asarray(state.xyz)[:Np])
-        out = {k: float(v) for k, v in summary.items()}
         out["time"] = time.time() - t0
         logger.info("BA Time: %.3fs, cost change: %.6g --> %.6g (%d iters)",
                     out["time"], out["initial_cost"], out["final_cost"],
@@ -545,11 +649,11 @@ class FeatureReferenceBundleAdjuster(BundleAdjuster):
 
         flags = self._optimizer_flags()
         packed = pack_ba_problem(reconstruction, problem_setup, **flags)
-        if len(packed.cam_models) > 1:
-            raise NotImplementedError(
-                "feature_reference BA with mixed camera models: "
-                f"{packed.cam_models} (use the geometric strategy)")
-        model = packed.cam_model
+        # mixed camera models: per-observation lax.switch projection (same
+        # mechanism as the geometric strategy); homogeneous scenes keep the
+        # single static model
+        mixed = len(packed.cam_models) > 1
+        model = packed.cam_models if mixed else packed.cam_model
         interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
         loss = make_loss(self.conf.optimizer.get("loss"))
         opts = self._ba_options()
@@ -593,7 +697,11 @@ class FeatureReferenceBundleAdjuster(BundleAdjuster):
                jnp.asarray(pf.corners.astype(np.float32)),
                jnp.asarray(pf.scales.astype(np.float32)),
                jnp.asarray(pf.upsampling.astype(np.float32)))
-        obs_data = (rows, targets)
+        if mixed:
+            mi = packed.cam_model_idx[packed.obs_cam].astype(np.int32)
+            obs_data = (rows, targets, mi)
+        else:
+            obs_data = (rows, targets)
         return self._run_ba_cached(
             reconstruction, packed,
             ("feature_reference", model, interp_static_key(interp)),

@@ -61,11 +61,14 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
         and flags["refine_extrinsics"]
 
     packed = pack_ba_problem(reconstruction, problem_setup, **flags)
-    if len(packed.cam_models) > 1:
-        raise NotImplementedError(
-            f"patch_warp BA with mixed camera models: {packed.cam_models}")
+    # mixed camera models: the warp projects through BOTH the source and the
+    # target camera, so each observation carries two model indices and every
+    # projection op dispatches with lax.switch (static per-model code)
+    models = packed.cam_models
+    mixed = len(models) > 1
     model = packed.cam_model
     slot_of_image = {int(iid): s for s, iid in enumerate(packed.image_ids)}
+    cam_slot = {int(c): s for s, c in enumerate(packed.camera_ids)}
 
     view = FeatureView.from_reconstruction(feature_set, reconstruction,
                                            packed.point_ids)
@@ -85,6 +88,8 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
     src_cam = packed.cams[packed.obs_cam].astype(np.float32).copy()
     src_scale = np.ones((O, 2), np.float32)
     src_idx = np.zeros(O, np.int32)
+    tgt_mi = packed.cam_model_idx[packed.obs_cam].astype(np.int32)
+    src_mi = tgt_mi.copy()
     targets = np.zeros((O, interp.n_nodes * pf.channels), np.float32)
     valid = np.zeros(O, bool)
     for i in range(O):
@@ -103,7 +108,11 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
         s_cam = reconstruction.cameras[s_im.camera_id]
         src_q[i] = s_im.qvec
         src_t[i] = s_im.tvec
-        src_cam[i] = s_cam.params
+        # source params may be narrower than the padded width (mixed models)
+        s_params = np.asarray(s_cam.params, np.float32)
+        src_cam[i] = 0.0
+        src_cam[i, :len(s_params)] = s_params
+        src_mi[i] = packed.cam_model_idx[cam_slot[int(s_im.camera_id)]]
         src_scale[i] = pf.scales[pf.row(s_im.name, s_p2D)]
         targets[i] = ref.descriptor
         valid[i] = True
@@ -130,23 +139,40 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
         mode=interp.mode, l2_normalize=interp.l2_normalize,
         ncc_normalize=False, nodes=[[0.0, 0.0]])
 
+    if mixed:
+        def _ifc(mi, cam_, uv):
+            return jax.lax.switch(
+                mi, [(lambda m: lambda a: img_from_cam(m, a[0], a[1]))(m)
+                     for m in models], (cam_, uv))
+
+        def _cfi(mi, cam_, xy):
+            return jax.lax.switch(
+                mi, [(lambda m: lambda a: cam_from_img(m, a[0], a[1]))(m)
+                     for m in models], (cam_, xy))
+    else:
+        def _ifc(mi, cam_, uv):
+            return img_from_cam(model, cam_, uv)
+
+        def _cfi(mi, cam_, xy):
+            return cam_from_img(model, cam_, xy)
+
     def warp_residual(qvec, tvec, cam, sq, st, scam, sscale, row, target,
-                      v, X):
+                      v, X, tmi, smi):
         """Shared warp: source-node lift at source depth -> target patch."""
         x_src = apply_pose(sq, st, X)
         depth = x_src[2]
         uv_s = x_src[:2] / depth
-        xy_s = img_from_cam(model, scam, uv_s)
+        xy_s = _ifc(smi, scam, uv_s)
 
         def warp_node(node):
             xy_n = xy_s + node / sscale
-            uvn = cam_from_img(model, scam, xy_n)
+            uvn = _cfi(smi, scam, xy_n)
             x_cam_n = jnp.concatenate([uvn * depth, depth[None]])
             qinv = quat_conj(quat_normalize(sq))
             Xn = quat_rotate(qinv, x_cam_n - st)
             # reproject into target
             x_t = apply_pose(qvec, tvec, Xn)
-            xy_t = img_from_cam(model, cam, x_t[:2] / x_t[2])
+            xy_t = _ifc(tmi, cam, x_t[:2] / x_t[2])
             pc = (xy_t * scales[row] - 0.5 - corners[row]) * ups[row]
             f_n = interpolate_residual(patches, row, pc[1], pc[0],
                                        interp_single)
@@ -169,12 +195,13 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
     if joint_src:
         obs_data = (jnp.asarray(rows), jnp.asarray(src_cam),
                     jnp.asarray(src_scale), jnp.asarray(targets),
-                    jnp.asarray(valid.astype(np.float32)))
+                    jnp.asarray(valid.astype(np.float32)),
+                    jnp.asarray(tgt_mi), jnp.asarray(src_mi))
 
         def residual_fn(qvec, tvec, src_qvec, src_tvec, cam, X, obs_slice):
-            row, scam, sscale, target, v = obs_slice
+            row, scam, sscale, target, v, tmi, smi = obs_slice
             return warp_residual(qvec, tvec, cam, src_qvec, src_tvec, scam,
-                                 sscale, row, target, v, X)
+                                 sscale, row, target, v, X, tmi, smi)
 
         out = adjuster._run_ba(reconstruction, packed, residual_fn, obs_data,
                                loss, opts, src_idx=src_idx)
@@ -182,12 +209,13 @@ def patch_warp_ba(adjuster, reconstruction: Reconstruction, feature_set,
         obs_data = (jnp.asarray(rows), jnp.asarray(src_q),
                     jnp.asarray(src_t), jnp.asarray(src_cam),
                     jnp.asarray(src_scale), jnp.asarray(targets),
-                    jnp.asarray(valid.astype(np.float32)))
+                    jnp.asarray(valid.astype(np.float32)),
+                    jnp.asarray(tgt_mi), jnp.asarray(src_mi))
 
         def residual_fn(qvec, tvec, cam, X, obs_slice):
-            row, sq, st, scam, sscale, target, v = obs_slice
+            row, sq, st, scam, sscale, target, v, tmi, smi = obs_slice
             return warp_residual(qvec, tvec, cam, sq, st, scam, sscale, row,
-                                 target, v, X)
+                                 target, v, X, tmi, smi)
 
         out = adjuster._run_ba(reconstruction, packed, residual_fn, obs_data,
                                loss, opts)

@@ -141,6 +141,39 @@ def test_mixed_geometric_jac_parity(rng):
                                    np.asarray(J_ref) / scale, atol=3e-5)
 
 
+def test_mixed_feature_reference_jac_parity(rng):
+    """Mixed-model featuremetric residual: the per-obs lax.switch analytic
+    Jacobian must match jacfwd through the switched residual."""
+    models = ("SIMPLE_PINHOLE", "SIMPLE_RADIAL")
+    k = 4  # padded to the widest model
+    interp = InterpolationConfig(mode="BICUBIC", l2_normalize=True,
+                                 check_bounds=True)
+    ikey = interp_static_key(interp)
+    rfn = _RESIDUAL_BUILDERS["feature_reference"](models, ikey)
+    jfn = _RESIDUAL_JAC_BUILDERS["feature_reference"](models, ikey)
+    assert jfn is not None
+
+    ctx = _fm_ctx(rng)
+    cam0 = jnp.asarray([200.0, 160.0, 120.0, 0.04], jnp.float32)
+    q0 = quat_normalize(jnp.asarray(rng.normal(0, 1, (4,)), jnp.float32))
+    t0 = jnp.asarray(rng.normal(0, 0.2, (3,)), jnp.float32)
+    target = jnp.asarray(rng.normal(0, 1, (8,)), jnp.float32)
+    from pixsfm_tpu.base.geometry import invert_pose, apply_pose
+    qi, ti = invert_pose(q0, t0)
+    X0 = apply_pose(qi, ti, jnp.asarray([0.05, -0.03, 3.0], jnp.float32))
+    for mi in (0, 1):
+        sl = (jnp.asarray(1, jnp.int32), target, jnp.asarray(mi, jnp.int32))
+        rtan = _tangent_wrap(rfn, q0, t0, cam0, X0, sl, ctx, k)
+        r_ref = rtan(jnp.zeros(6 + k + 3, jnp.float32))
+        J_ref = jax.jacfwd(rtan)(jnp.zeros(6 + k + 3, jnp.float32))
+        r, J = jfn(q0, t0, cam0, X0, sl, ctx)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                                   rtol=1e-5, atol=1e-5)
+        scale = np.abs(np.asarray(J_ref)).max() + 1e-3
+        np.testing.assert_allclose(np.asarray(J) / scale,
+                                   np.asarray(J_ref) / scale, atol=3e-5)
+
+
 def test_ba_solve_same_solution_with_jac_path(rng):
     """Full geometric BA: the analytic path must reach the same optimum."""
     from pixsfm_tpu.sfm.synthetic import synthetic_reconstruction
