@@ -709,7 +709,8 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
     active = np.arange(P)
     it_done = 0
     first_segment = True
-    while len(active) and it_done < lm_opts.max_iterations:
+    interrupted = False
+    while len(active) and it_done < lm_opts.max_iterations and not interrupted:
         still = []
         n_chunks = int(np.ceil(len(active) / chunk))
         for ci in range(n_chunks):
@@ -736,18 +737,31 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
             pmask = np.zeros(chunk, bool)
             pmask[:n] = True
 
-            x, summary = run_chunk_c(
-                all_patches, jnp.asarray(x0), data, jnp.asarray(kp_free),
-                jnp.asarray(lower), jnp.asarray(upper), jnp.asarray(pmask),
-                jnp.asarray(pad0(lam_cur[idx], lm_opts.initial_lambda)))
-            x_cur[idx] = np.asarray(x).reshape(chunk, K * 2)[:n]
-            lam_cur[idx] = np.asarray(summary.lam)[:n]
-            conv = np.asarray(summary.converged)[:n]
-            if first_segment:
-                init_cost[idx] = np.asarray(summary.initial_cost)[:n]
-            final_cost[idx] = np.asarray(summary.final_cost)[:n]
-            iters_used[idx] += np.asarray(summary.iterations)[:n]
-            still.append(idx[~conv])
+            try:
+                x, summary = run_chunk_c(
+                    all_patches, jnp.asarray(x0), data, jnp.asarray(kp_free),
+                    jnp.asarray(lower), jnp.asarray(upper),
+                    jnp.asarray(pmask),
+                    jnp.asarray(pad0(lam_cur[idx], lm_opts.initial_lambda)))
+                x_cur[idx] = np.asarray(x).reshape(chunk, K * 2)[:n]
+                lam_cur[idx] = np.asarray(summary.lam)[:n]
+                conv = np.asarray(summary.converged)[:n]
+                if first_segment:
+                    init_cost[idx] = np.asarray(summary.initial_cost)[:n]
+                final_cost[idx] = np.asarray(summary.final_cost)[:n]
+                iters_used[idx] += np.asarray(summary.iterations)[:n]
+                still.append(idx[~conv])
+            except KeyboardInterrupt:
+                # graceful termination (reference PyInterruptCallback,
+                # base/src/callbacks.h:10-37): keep every completed chunk's
+                # keypoints; the interrupted chunk stays at its pre-chunk
+                # values
+                from .. import logger
+                interrupted = True
+                logger.warning(
+                    "KA interrupted after %d/%d chunks of this segment: "
+                    "keeping all completed results.", ci, n_chunks)
+                break
         active = np.concatenate(still) if still else np.zeros(0, np.int64)
         it_done += seg
         first_segment = False
@@ -755,4 +769,6 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
     tot = dict(initial_cost=float(init_cost.sum()),
                final_cost=float(final_cost.sum()),
                num_problems=P, iterations=int(iters_used.max(initial=0)))
+    if interrupted:
+        tot["interrupted"] = True
     return x_cur.reshape(P, K, 2), tot

@@ -139,3 +139,25 @@ class TestFactory:
                           FeatureReferenceBundleAdjuster)
         assert isinstance(BundleAdjuster.create({"strategy": "geometric"}),
                           GeometricBundleAdjuster)
+
+
+def test_segmented_ba_matches_single_dispatch(rng):
+    """segment_iterations > 0 re-enters the compiled LM loop with
+    warm-restarted damping; the result must match the single-dispatch solve
+    (host boundary = interrupt/progress point, reference callbacks.h)."""
+    rec = synth(n_images=4, n_points=60, noise_px=0.0, seed=31)
+    perturb(rec, rng)
+    results = {}
+    for seg in (0, 7):
+        r2 = rec.copy()
+        adj = GeometricBundleAdjuster({
+            "optimizer": {"solver": {"max_num_iterations": 40,
+                                     "use_inner_iterations": False,
+                                     "segment_iterations": seg}}})
+        out = adj.refine(r2)
+        results[seg] = (out, r2.mean_reprojection_error())
+    assert results[7][1] < 0.02, results[7][1]
+    np.testing.assert_allclose(results[7][0]["final_cost"],
+                               results[0][0]["final_cost"],
+                               rtol=1e-3, atol=1e-6)
+    assert results[7][0]["iterations"] >= results[0][0]["iterations"] - 1
