@@ -423,7 +423,8 @@ def bench_ba_large(I=200, Np=500_000, track=4):
         obs_data=jnp.asarray(xy), valid=jnp.ones((O,), bool),
         pair_o1=jnp.zeros(4, jnp.int32) + O,
         pair_o2=jnp.zeros(4, jnp.int32) + O,
-        pt_slot=jnp.asarray(make_point_major(pt_idx, Np, O)))
+        pt_slot=jnp.asarray(make_point_major(pt_idx, Np, O)),
+        img_slot=jnp.asarray(make_point_major(img_idx, I, O)))
     loss = RobustLoss("trivial")
     args = _ba_gauge_args(I, Np, 4)
 
@@ -454,25 +455,29 @@ def bench_extract(H=480, W=640, reps=20):
         lambda a: a.astype(dt) if a.dtype == jnp.float32 else a,
         model.variables)
 
-    @jax.jit
-    def loop(img):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def loop(img, n):
         def body(i, acc):
             f = model.module.apply(variables, (img + acc * 1e-20).astype(dt))
             return jnp.sum(f[0].astype(jnp.float32)) * 1e-20
-        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
 
     img = jax.jit(lambda k: jax.random.uniform(k, (1, H, W, 3), jnp.float32))(
         jax.random.PRNGKey(0))
     img.block_until_ready()
-    _sync(loop(img))  # compile
-    t0 = time.time()
-    _sync((img[0, 0, 0],))
-    rtt = time.time() - t0
+    _sync(loop(img, reps))      # compile both lengths
+    _sync(loop(img, 3 * reps))
     best = None
     for _ in range(3):
+        # two-length difference cancels dispatch/readback RTT exactly
         t0 = time.time()
-        _sync(loop(img))
-        dt_run = (time.time() - t0 - rtt) / reps
+        _sync(loop(img, reps))
+        t1 = time.time()
+        _sync(loop(img, 3 * reps))
+        t2 = time.time()
+        dt_run = ((t2 - t1) - (t1 - t0)) / (2 * reps)
         best = dt_run if best is None else min(best, dt_run)
     return 1.0 / max(best, 1e-9)
 

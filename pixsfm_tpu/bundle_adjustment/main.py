@@ -442,6 +442,17 @@ class BundleAdjuster:
                 and Np_pad * T_b <= 4 * O_pad):
             pt_slot = jnp.asarray(
                 make_point_major(packed.obs_pt, Np_pad, O_pad))
+        # image axis: the CG matvec reduces over the FULL observation axis,
+        # so its one-hot budget is I * O_pad (not chunked)
+        img_slot = None
+        n_img = len(packed.image_ids)
+        img_lens = np.bincount(packed.obs_img, minlength=max(n_img, 1))
+        Ti = int(img_lens.max(initial=1))
+        Ti_b = max(1 << int(np.ceil(np.log2(max(Ti, 1)))), 4)
+        if (n_img * O_pad > _ONEHOT_BUDGET
+                and n_img * Ti_b <= 4 * O_pad):
+            img_slot = jnp.asarray(
+                make_point_major(packed.obs_img, n_img, O_pad))
 
         valid = np.zeros(O_pad, bool)
         valid[:O] = True if obs_valid is None else np.asarray(obs_valid, bool)
@@ -453,7 +464,7 @@ class BundleAdjuster:
                 lambda a: jnp.asarray(pad_to(a, O_pad)), obs_data),
             valid=jnp.asarray(valid),
             pair_o1=jnp.asarray(pair_o1), pair_o2=jnp.asarray(pair_o2),
-            pt_slot=pt_slot)
+            pt_slot=pt_slot, img_slot=img_slot)
         xyz = pad_to(packed.xyz, Np_pad).astype(np.float32)
         xyz[Np:] = [0.0, 0.0, 10.0]  # padded points safely in front
         state0 = BAState(jnp.asarray(packed.qvec), jnp.asarray(packed.tvec),

@@ -135,6 +135,11 @@ class BAObservations(NamedTuple):
     # millions of points, where the one-hot matmul's [Np, n] operand blows
     # its budget and the code would otherwise fall back to scatter-adds.
     pt_slot: Optional[jnp.ndarray] = None   # [Np, T] int32 -> obs index | O
+    # same table for the image axis (row i = observations of image i),
+    # used by the CG matvec's full-O image reductions — at millions of
+    # observations the [I, O] one-hot blows its budget and the scatter
+    # fallback serializes (~1 elem/cycle on the scalar unit)
+    img_slot: Optional[jnp.ndarray] = None  # [I, T_img] int32 -> obs idx | O
 
 
 class _LMState(NamedTuple):
@@ -313,6 +318,19 @@ def ba_solve(residual_fn: Callable,
     PB = 12 if has_src else 6        # pose tangent rows per observation
     NR = PB + k                      # camera-side rows per observation
     use_pm = obs.pt_slot is not None  # point-major [Np, T] reductions
+    # TRANSPOSED large-O regime: TPU (8,128) tiling pads the minor dims of
+    # every per-observation [O, small] array to 128 — f32[2M,10,3] stores as
+    # 15.26 GB (68x). Past the point-major threshold the CG path therefore
+    # keeps all per-obs/per-point structs in [d, O] / [d, Np] layout
+    # (~1.07x padding) and reduces over tracks with small static loops.
+    use_t = use_pm and not has_src and opts.linear_solver == "cg"
+
+    def _table_sum(table, vals):
+        """Gather the [S, T] slot table (+1 zero sentinel row appended to
+        vals) and sum over T — a scatter-free, one-hot-free segment sum."""
+        z = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
+        padded = jnp.concatenate([vals, z], axis=0)
+        return jnp.sum(padded[table], axis=1)
 
     def pt_segment_sum(vals):
         """Per-point reduction of per-observation values [O, ...] -> [Np, ...].
@@ -322,9 +340,61 @@ def ba_solve(residual_fn: Callable,
         no [Np, O] one-hot operand, exact at any point count."""
         if not use_pm:
             return _segment_sum(obs.pt_idx, Np, vals)
-        z = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
-        padded = jnp.concatenate([vals, z], axis=0)
-        return jnp.sum(padded[obs.pt_slot], axis=1)
+        return _table_sum(obs.pt_slot, vals)
+
+    def img_segment_sum(vals):
+        """Per-image reduction of per-observation values [O, ...] -> [I, ...]."""
+        if obs.img_slot is None:
+            return _segment_sum(obs.img_idx, I, vals)
+        return _table_sum(obs.img_slot, vals)
+
+    # ---- transposed-layout helpers (use_t) --------------------------------
+    pt_tableT = obs.pt_slot.T if use_t else None   # [T, Np], hoisted
+
+    def pt_table_sum_t(vals_t):
+        """[d, O] -> [d, Np]: loop the (small, static) track axis with
+        [d, Np] gathers — no [Np, T, d] intermediate (its d axis would pad
+        to 128)."""
+        T = pt_tableT.shape[0]
+        z = jnp.zeros(vals_t.shape[:-1] + (1,), vals_t.dtype)
+        padded = jnp.concatenate([vals_t, z], axis=-1)   # sentinel col = O
+
+        def body(t, acc):
+            return acc + padded[:, pt_tableT[t]]
+        return jax.lax.fori_loop(
+            0, T, body, jnp.zeros(vals_t.shape[:-1] + (Np,), vals_t.dtype))
+
+    def _seg_mm_t(idx, S, vals_t):
+        """[d, O] -> [S, d] via the fused one-hot matmul, transposed so the
+        one-hot contraction runs over the O axis without materializing any
+        [O, d] operand."""
+        oh = (idx[:, None] == jnp.arange(S, dtype=jnp.int32)[None, :]
+              ).astype(vals_t.dtype)                     # [O, S], fused
+        out = jnp.dot(vals_t, oh, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)   # [d, S]
+        return out.T
+
+    def _inv3x3_t(At):
+        """Closed-form 3x3 inverse on [3, 3, N] component planes."""
+        a, b, c = At[0, 0], At[0, 1], At[0, 2]
+        d, e, f = At[1, 0], At[1, 1], At[1, 2]
+        g, h, i = At[2, 0], At[2, 1], At[2, 2]
+        A11 = e * i - f * h
+        A12 = c * h - b * i
+        A13 = b * f - c * e
+        A21 = f * g - d * i
+        A22 = a * i - c * g
+        A23 = c * d - a * f
+        A31 = d * h - e * g
+        A32 = b * g - a * h
+        A33 = a * e - b * d
+        det = a * A11 + b * A21 + c * A31
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30,
+                                  jnp.where(det < 0, -1e-30, 1e-30), det)
+        return jnp.stack([
+            jnp.stack([A11, A12, A13]),
+            jnp.stack([A21, A22, A23]),
+            jnp.stack([A31, A32, A33])]) * inv_det[None, None, :]
 
     pose_mask6 = jnp.repeat(pose_free[:, None], 6, axis=1).at[:, 3:].set(
         tvec_free & pose_free[:, None])                       # [I, 6]
@@ -428,14 +498,23 @@ def ba_solve(residual_fn: Callable,
             # [O,NR,3]) are emitted as stacked scan outputs — chunks are
             # consecutive index ranges, so no scatter is needed (padded
             # tail rows carry w=0 and are sliced off after the scan).
-            ys = dict(B=jnp.einsum("oca,ocb->oab", w * Jcam, Jx))
-            if use_pm:
-                # point-major: stack per-obs point values; reduce once after
-                # the scan through the [Np, T] table (no per-chunk one-hot
-                # against a multi-million-row point axis)
-                ys["ptv"] = ptv
+            B_chunk = jnp.einsum("oca,ocb->oab", w * Jcam, Jx)
+            if use_t:
+                # transposed emission: [NR*3, chunk] per step so the final
+                # stacked B is [NR*3, O] (minor dim = O, ~1x padding)
+                ys = dict(B=jnp.transpose(B_chunk, (1, 2, 0))
+                          .reshape(NR * 3, n),
+                          ptv=ptv.T)
             else:
-                out["pt_acc"] = carry["pt_acc"] + _segment_sum(pt, Np, ptv)
+                ys = dict(B=B_chunk)
+                if use_pm:
+                    # point-major: stack per-obs point values; reduce once
+                    # after the scan through the [Np, T] table (no per-chunk
+                    # one-hot against a multi-million-row point axis)
+                    ys["ptv"] = ptv
+                else:
+                    out["pt_acc"] = carry["pt_acc"] + _segment_sum(pt, Np,
+                                                                   ptv)
             if has_src:
                 src = obs.src_idx[ois]
                 Js = J[:, :, 6:12]
@@ -467,8 +546,13 @@ def ba_solve(residual_fn: Callable,
         # split the concatenated per-target accumulators back into blocks
         img_acc = carry.pop("img_acc")
         cam_acc = carry.pop("cam_acc")
-        pt_acc = (pt_segment_sum(ys["ptv"].reshape(pad_O, 12)[:O])
-                  if use_pm else carry.pop("pt_acc"))
+        if use_t:
+            ptv_t = jnp.moveaxis(ys["ptv"], 0, 1).reshape(12, pad_O)[:, :O]
+            ptacc_t = pt_table_sum_t(ptv_t)          # [12, Np]
+            pt_acc = None
+        else:
+            pt_acc = (pt_segment_sum(ys["ptv"].reshape(pad_O, 12)[:O])
+                      if use_pm else carry.pop("pt_acc"))
         carry["Hpp"] = img_acc[:, :36].reshape(I, 6, 6)
         carry["gp"] = img_acc[:, 36:42]
         if has_src:
@@ -479,9 +563,15 @@ def ba_solve(residual_fn: Callable,
             carry["Hpc"] = img_acc[:, 42:].reshape(I, 6, k)
         carry["Hcc"] = cam_acc[:, :k * k].reshape(Nc, k, k)
         carry["gc"] = cam_acc[:, k * k:]
-        carry["V"] = pt_acc[:, :9].reshape(Np, 3, 3)
-        carry["gx"] = pt_acc[:, 9:]
-        carry["B"] = ys["B"].reshape(pad_O, NR, 3)[:O]
+        if use_t:
+            carry["Vt"] = ptacc_t[:9].reshape(3, 3, Np)
+            carry["gxt"] = ptacc_t[9:]                       # [3, Np]
+            carry["Bt"] = jnp.moveaxis(ys["B"], 0, 1) \
+                .reshape(NR * 3, pad_O)[:, :O]
+        else:
+            carry["V"] = pt_acc[:, :9].reshape(Np, 3, 3)
+            carry["gx"] = pt_acc[:, 9:]
+            carry["B"] = ys["B"].reshape(pad_O, NR, 3)[:O]
         if has_src:
             carry["Aob"] = ys["Aob"].reshape(pad_O, NR, NR)[:O]
         return carry
@@ -507,13 +597,26 @@ def ba_solve(residual_fn: Callable,
         """Zero out frozen parameter rows/cols in the block system."""
         pm = pose_mask6.astype(jnp.float32)
         cm = cam_mask.astype(jnp.float32)
-        xm = pt_mask.astype(jnp.float32)
         sysd = dict(sysd)
         sysd["Hpp"] = sysd["Hpp"] * pm[:, :, None] * pm[:, None, :]
         sysd["Hcc"] = sysd["Hcc"] * cm[:, :, None] * cm[:, None, :]
-        sysd["V"] = sysd["V"] * xm[:, :, None] * xm[:, None, :]
         sysd["gp"] = sysd["gp"] * pm
         sysd["gc"] = sysd["gc"] * cm
+        if use_t:
+            # point mask is per point (all 3 coords alike): a single [Np]
+            # multiply masks both rows and columns of each 3x3 block
+            xm1 = point_free.astype(jnp.float32)            # [Np]
+            sysd["Vt"] = sysd["Vt"] * xm1[None, None, :]
+            sysd["gxt"] = sysd["gxt"] * xm1[None, :]
+            bm_t = jnp.concatenate([pm.T[:, obs.img_idx],
+                                    cm.T[:, obs.cam_idx]], axis=0)  # [NR, O]
+            sysd["Hpc"] = (sysd["Hpc"] * pm[:, :, None]
+                           * cm[obs_cam_of_img][:, None, :])
+            sysd["Bt"] = (sysd["Bt"] * jnp.repeat(bm_t, 3, axis=0)
+                          * xm1[obs.pt_idx][None, :])
+            return sysd
+        xm = pt_mask.astype(jnp.float32)
+        sysd["V"] = sysd["V"] * xm[:, :, None] * xm[:, None, :]
         sysd["gx"] = sysd["gx"] * xm
         # B rows: pose part masked by image, cam part by its camera
         if has_src:
@@ -528,9 +631,114 @@ def ba_solve(residual_fn: Callable,
         sysd["B"] = sysd["B"] * bm[:, :, None] * xm[obs.pt_idx][:, None, :]
         return sysd
 
+    def schur_step_t(sysd, lam):
+        """Transposed-layout damped CG Schur solve (large-O regime): every
+        per-observation / per-point struct lives as [d, O] / [d, Np] so the
+        TPU (8,128) minor-dim padding stays ~1x instead of 10-70x."""
+        Hpp, Hcc, Hpc = sysd["Hpp"], sysd["Hcc"], sysd["Hpc"]
+        gp, gc = sysd["gp"], sysd["gc"]
+        Vt, gxt, Bt = sysd["Vt"], sysd["gxt"], sysd["Bt"]
+        ptm = point_free.astype(jnp.float32)                 # [Np]
+
+        def damp(Hb, mask):
+            D = jnp.clip(jnp.diagonal(Hb, axis1=-2, axis2=-1),
+                         opts.min_diagonal, opts.max_diagonal)
+            eye = jnp.eye(Hb.shape[-1], dtype=Hb.dtype)
+            fill = 1.0 - mask.astype(Hb.dtype)
+            return Hb + eye * (lam * D + fill)[..., None, :]
+
+        # damped point blocks + inverse, in [3, 3, Np] planes
+        Dv_t = jnp.clip(jnp.stack([Vt[0, 0], Vt[1, 1], Vt[2, 2]]),
+                        opts.min_diagonal, opts.max_diagonal)   # [3, Np]
+        fill_t = 1.0 - ptm
+        Vd_t = Vt + jnp.eye(3)[:, :, None] * (lam * Dv_t
+                                              + fill_t[None, :])[None]
+        Vinv_t = _inv3x3_t(Vd_t)
+        Hpp_d = damp(Hpp, pose_mask6)
+        Hcc_d = damp(Hcc, cam_mask)
+
+        def gather_rows_t(vp, vc):
+            return jnp.concatenate([vp.T[:, obs.img_idx],
+                                    vc.T[:, obs.cam_idx]], axis=0)  # [NR, O]
+
+        def scatter_rows_t(u_t, sign=1.0):
+            up = _seg_mm_t(obs.img_idx, I, sign * u_t[:6])
+            uc = _seg_mm_t(obs.cam_idx, Nc, sign * u_t[6:])
+            return up, uc
+
+        def B_apply_T(rows_t):
+            """W^T v: [NR, O] -> [3, O] via static row loop over Bt."""
+            s = None
+            for a in range(NR):
+                term = rows_t[a][None, :] * Bt[3 * a:3 * a + 3]
+                s = term if s is None else s + term
+            return s
+
+        def B_apply(w_t):
+            """W w: [3, O] -> [NR, O]."""
+            return jnp.stack([
+                jnp.sum(Bt[3 * a:3 * a + 3] * w_t, axis=0)
+                for a in range(NR)], axis=0)
+
+        def vinv_apply(t_t):
+            return jnp.einsum("abp,bp->ap", Vinv_t, t_t)
+
+        def s_matvec(v):
+            vp, vc = v
+            avp = jnp.einsum("iab,ib->ia", Hpp_d, vp) \
+                + jnp.einsum("iak,ik->ia", Hpc, vc[obs_cam_of_img])
+            avc = jnp.einsum("cab,cb->ca", Hcc_d, vc)
+            avc = avc + _segment_sum(obs_cam_of_img, Nc,
+                                     jnp.einsum("iak,ia->ik", Hpc, vp))
+            rows_t = gather_rows_t(vp, vc)
+            t_p = pt_table_sum_t(B_apply_T(rows_t))          # [3, Np]
+            w_o = vinv_apply(t_p)[:, obs.pt_idx]             # [3, O]
+            up, uc = scatter_rows_t(B_apply(w_o))
+            return (avp - up, avc - uc)
+
+        Minv_p = jnp.linalg.inv(Hpp_d)
+        Minv_c = jnp.linalg.inv(Hcc_d)
+
+        def precond(v):
+            vp, vc = v
+            return (jnp.einsum("iab,ib->ia", Minv_p, vp),
+                    jnp.einsum("cab,cb->ca", Minv_c, vc))
+
+        # rhs = g_cam - W Vinv g_p
+        y_t = vinv_apply(gxt)[:, obs.pt_idx]                 # [3, O]
+        cp, cc = scatter_rows_t(B_apply(y_t))
+        rp, rc = gp - cp, gc - cc
+
+        from jax.scipy.sparse.linalg import cg as _cg
+        (dp_neg, dc_neg), _ = _cg(
+            s_matvec, (rp, rc), M=precond,
+            maxiter=opts.max_linear_solver_iterations,
+            tol=opts.linear_solver_tol)
+        d_pose = -dp_neg * pose_mask6.astype(jnp.float32)
+        d_cam = -dc_neg * cam_mask.astype(jnp.float32)
+
+        t_t = pt_table_sum_t(B_apply_T(gather_rows_t(d_pose, d_cam)))
+        d_xyz_t = -vinv_apply(gxt + t_t) * ptm[None, :]
+        d_xyz = d_xyz_t.T                                    # [Np, 3]
+
+        g_all = jnp.concatenate([gp.reshape(-1), gc.reshape(-1),
+                                 gxt.T.reshape(-1)])
+        d_all = jnp.concatenate([d_pose.reshape(-1), d_cam.reshape(-1),
+                                 d_xyz.reshape(-1)])
+        Dv_all = jnp.concatenate([
+            jnp.clip(jnp.diagonal(Hpp, axis1=1, axis2=2),
+                     opts.min_diagonal, opts.max_diagonal).reshape(-1),
+            jnp.clip(jnp.diagonal(Hcc, axis1=1, axis2=2),
+                     opts.min_diagonal, opts.max_diagonal).reshape(-1),
+            Dv_t.T.reshape(-1)])
+        pred = 0.5 * jnp.sum(d_all * (lam * Dv_all * d_all - g_all))
+        return d_pose, d_cam, d_xyz, pred
+
     def schur_step(sysd, lam):
         """One damped Schur solve → (d_pose [I,6], d_cam [Nc,k], d_xyz [Np,3],
         predicted_reduction)."""
+        if use_t:
+            return schur_step_t(sysd, lam)
         Hpp, Hcc = sysd["Hpp"], sysd["Hcc"]
         Hpc = sysd.get("Hpc")
         V, gp, gc, gx, B = sysd["V"], sysd["gp"], sysd["gc"], sysd["gx"], \
@@ -563,7 +771,7 @@ def ba_solve(residual_fn: Callable,
 
             def scatter_rows(u_o, sign=1.0):
                 """Reduce per-obs camera-side rows back to (vp, vc)."""
-                up = _segment_sum(obs.img_idx, I, sign * u_o[:, :6])
+                up = img_segment_sum(sign * u_o[:, :6])
                 if has_src:
                     up = up + _segment_sum(obs.src_idx, I,
                                            sign * u_o[:, 6:12])

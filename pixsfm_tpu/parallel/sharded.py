@@ -141,9 +141,9 @@ def sharded_ba_solve(residual_fn, state0, obs, loss, pose_free, tvec_free,
         valid=jax.device_put(valid, shard),
         pair_o1=jax.device_put(_pad_to(jnp.asarray(obs.pair_o1), n), shard),
         pair_o2=jax.device_put(_pad_to(jnp.asarray(obs.pair_o2), n), shard),
-        # pt_slot (point-major table) is intentionally dropped: it indexes
-        # the GLOBAL observation axis, which is sharded here — the flat
-        # segment sums stay correct under SPMD (XLA inserts the psum)
+        # pt_slot/img_slot (axis-major tables) are intentionally dropped:
+        # they index the GLOBAL observation axis, which is sharded here —
+        # the flat segment sums stay correct under SPMD (XLA inserts psums)
     )
     # Padded pairs must reference an *invalid* obs slot (zero B block) so they
     # contribute nothing to the Schur reduction. Slot O is always padding.

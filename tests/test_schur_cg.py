@@ -112,6 +112,8 @@ def test_point_major_matches_flat(rng):
         for pm in (False, True):
             pt_slot = (jnp.asarray(make_point_major(packed.obs_pt, Np, O))
                        if pm else None)
+            img_slot = (jnp.asarray(make_point_major(
+                packed.obs_img, len(packed.image_ids), O)) if pm else None)
             obs = BAObservations(
                 img_idx=jnp.asarray(packed.obs_img),
                 cam_idx=jnp.asarray(packed.obs_cam),
@@ -119,7 +121,7 @@ def test_point_major_matches_flat(rng):
                 obs_data=jnp.asarray(packed.obs_xy, jnp.float32),
                 valid=jnp.ones((O,), bool),
                 pair_o1=jnp.asarray(pair_o1), pair_o2=jnp.asarray(pair_o2),
-                pt_slot=pt_slot)
+                pt_slot=pt_slot, img_slot=img_slot)
             st, summ = ba_solve(rfn, state0, obs, loss, *args,
                                 opts=BAOptions(max_iterations=12,
                                                obs_chunk=64,
