@@ -30,8 +30,8 @@ __all__ = ["run_scene_localization", "main"]
 
 def run_scene_localization(scene_dir: Path, output_dir: Path, conf=None,
                            num_holdout=NUM_HOLDOUT_IMAGES,
-                           thresholds=LOCALIZATION_THRESHOLDS
-                           ) -> Optional[Dict]:
+                           thresholds=LOCALIZATION_THRESHOLDS,
+                           method: str = "sift") -> Optional[Dict]:
     gt_model_dir = scene_dir / "dslr_calibration_undistorted"
     image_dir = scene_dir / "images"
     if not gt_model_dir.exists() or not image_dir.exists():
@@ -45,7 +45,8 @@ def run_scene_localization(scene_dir: Path, output_dir: Path, conf=None,
                                 replace=False).tolist())
     mapping = [n for n in names if n not in queries]
 
-    kps, (matches, scores) = detect_and_match(image_dir, names)
+    kps, (matches, scores) = detect_and_match(image_dir, names,
+                                              method=method)
 
     # reference model without queries
     map_matches = {k: v for k, v in matches.items()
@@ -104,6 +105,8 @@ def main():
     parser.add_argument("--output_dir", type=Path, required=True)
     parser.add_argument("--scenes", nargs="*", default=SCENES)
     parser.add_argument("--config_path", type=str, default=None)
+    parser.add_argument("--method", default="sift",
+                        help="detector/matcher front-end (config.METHODS)")
     parser.add_argument("dotlist", nargs="*")
     args = parser.parse_args()
 
@@ -111,7 +114,8 @@ def main():
         if args.config_path else OmegaConf.from_dotlist(args.dotlist)
     for scene in args.scenes:
         res = run_scene_localization(args.dataset_dir / scene,
-                                     args.output_dir / scene, conf)
+                                     args.output_dir / scene, conf,
+                                     method=args.method)
         if res:
             print(scene, "AUC@{0.1,1,10}cm:",
                   " / ".join(f"{a:.2f}" for a in res["auc"]))

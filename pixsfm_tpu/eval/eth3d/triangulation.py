@@ -29,37 +29,22 @@ __all__ = ["run_scene", "main", "format_results"]
 
 
 def detect_and_match(image_dir: Path, names: List[str], max_edge=1600,
-                     n_features=8000):
-    import cv2
+                     n_features=8000, method: str = "sift"):
+    """Front-end for one scene: detection + exhaustive matching + geometric
+    verification. ``method`` is one of config.METHODS (sift / superpoint /
+    r2d2 — the learned ones run the Flax detectors on device; their
+    descriptor quality requires checkpoints, see features/models/)."""
+    from ...features.detectors import detect_and_match_dir
 
-    sift = cv2.SIFT_create(nfeatures=n_features)
-    kps, descs = {}, {}
-    for name in names:
-        img = cv2.imread(str(image_dir / name), cv2.IMREAD_GRAYSCALE)
-        if max(img.shape) > max_edge:
-            s = max_edge / max(img.shape)
-            img = cv2.resize(img, None, fx=s, fy=s)
-        kp, des = sift.detectAndCompute(img, None)
-        kps[name] = np.array([k.pt for k in kp], np.float64) + 0.5
-        descs[name] = des
-
-    bf = cv2.BFMatcher(cv2.NORM_L2)
-    matches, scores = {}, {}
-    for i in range(len(names)):
-        for j in range(i + 1, len(names)):
-            raw = bf.knnMatch(descs[names[i]], descs[names[j]], k=2)
-            good = [m for m, n in raw if m.distance < 0.8 * n.distance]
-            if len(good) < 15:
-                continue
-            m = np.array([[g.queryIdx, g.trainIdx] for g in good], np.int64)
-            matches[(names[i], names[j])] = m
-            scores[(names[i], names[j])] = np.array(
-                [1.0 - g.distance / 512.0 for g in good], np.float32)
+    kps, matches, scores = detect_and_match_dir(
+        image_dir, names, method=method, max_edge=max_edge,
+        n_features=n_features)
     return kps, verify_all_pairs(matches, kps, scores)
 
 
 def run_scene(scene_dir: Path, output_dir: Path, conf=None,
-              tolerances=TRIANGULATION_TOLERANCES) -> Optional[Dict]:
+              tolerances=TRIANGULATION_TOLERANCES,
+              method: str = "sift") -> Optional[Dict]:
     """Expects COLMAP GT model at scene_dir/dslr_calibration_undistorted and
     the GT scan (PLY) under scene_dir (ETH3D layout)."""
     gt_model_dir = scene_dir / "dslr_calibration_undistorted"
@@ -70,7 +55,8 @@ def run_scene(scene_dir: Path, output_dir: Path, conf=None,
 
     gt = Reconstruction.read(gt_model_dir)
     names = sorted(im.name for im in gt.images.values())
-    kps, (matches, scores) = detect_and_match(image_dir, names)
+    kps, (matches, scores) = detect_and_match(image_dir, names,
+                                          method=method)
 
     sfm = PixSfM(conf)
     graph = build_matching_graph(matches, scores)
@@ -118,6 +104,8 @@ def main():
     parser.add_argument("--output_dir", type=Path, required=True)
     parser.add_argument("--scenes", nargs="*", default=SCENES)
     parser.add_argument("--config_path", type=str, default=None)
+    parser.add_argument("--method", default="sift",
+                        help="detector/matcher front-end (config.METHODS)")
     parser.add_argument("--overwrite", action="store_true")
     parser.add_argument("dotlist", nargs="*")
     args = parser.parse_args()
@@ -132,7 +120,8 @@ def main():
         if res_file.exists() and not args.overwrite:
             results[scene] = json.loads(res_file.read_text())
             continue
-        results[scene] = run_scene(args.dataset_dir / scene, out, conf)
+        results[scene] = run_scene(args.dataset_dir / scene, out, conf,
+                                   method=args.method)
     print(format_results(results, TRIANGULATION_TOLERANCES))
 
 

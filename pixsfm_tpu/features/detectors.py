@@ -1,0 +1,190 @@
+"""Keypoint detection + exhaustive descriptor matching front-end.
+
+The reference delegates detection/matching to hloc method configs
+(reference pixsfm/eval/eth3d/config.py:30-137: sift / superpoint / r2d2);
+here the same method names are first-class:
+
+- ``sift``: OpenCV SIFT + BF ratio matching (host — tiny workload).
+- ``superpoint`` / ``r2d2``: the Flax models (``features/models/``) with
+  static-K jitted detection, and matching as one batched device matmul
+  over L2-normalized descriptors (mutual nearest neighbor + ratio test,
+  masked for padded slots) — MXU work, no per-pair host loops.
+
+All detectors return COLMAP-convention keypoints (pixel centers at +0.5).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import logger
+
+__all__ = ["detect_directory", "match_exhaustive", "detect_and_match_dir",
+           "mutual_nn_ratio_match"]
+
+
+def _load_rgb(path, max_edge):
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    scale = 1.0
+    if max(img.shape[:2]) > max_edge:
+        scale = max_edge / max(img.shape[:2])
+        img = cv2.resize(img, None, fx=scale, fy=scale,
+                         interpolation=cv2.INTER_AREA)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0, \
+        scale
+
+
+def _pad_to(img, H, W):
+    h, w = img.shape[:2]
+    out = np.zeros((H, W, 3), np.float32)
+    out[:h, :w] = img
+    return out
+
+
+def detect_directory(image_dir: Path, names: List[str], method: str = "sift",
+                     max_edge: int = 1600, n_features: int = 8000,
+                     conf: Optional[dict] = None):
+    """Detect keypoints for every image. Returns (kps, descs, valid) dicts:
+    kps[name] [N, 2] float64 (+0.5 center convention, full-resolution
+    coordinates), descs[name] [N, C] float32, valid only meaningful for the
+    static-K learned detectors (boolean [N])."""
+    if method == "sift":
+        import cv2
+
+        sift = cv2.SIFT_create(nfeatures=n_features)
+        kps, descs = {}, {}
+        for name in names:
+            img = cv2.imread(str(image_dir / name), cv2.IMREAD_GRAYSCALE)
+            scale = 1.0
+            if max(img.shape) > max_edge:
+                scale = max_edge / max(img.shape)
+                img = cv2.resize(img, None, fx=scale, fy=scale)
+            kp, des = sift.detectAndCompute(img, None)
+            kps[name] = (np.array([k.pt for k in kp], np.float64) + 0.5) \
+                / scale
+            descs[name] = des
+        return kps, descs, {n: np.ones(len(kps[n]), bool) for n in names}
+
+    from .models import get_model
+
+    model_conf = dict(conf or {})
+    model_conf.setdefault("max_keypoints", min(n_features, 4096))
+    model = get_model(method)(model_conf)
+    if not hasattr(model, "detect"):
+        raise ValueError(f"model {method!r} has no detect()")
+
+    # bucket identical padded shapes so the jitted program compiles once
+    kps, descs, valid = {}, {}, {}
+    loaded = {n: _load_rgb(image_dir / n, max_edge) for n in names}
+    H = max(im.shape[0] for im, _ in loaded.values())
+    W = max(im.shape[1] for im, _ in loaded.values())
+    # round the pad target up to a multiple of 64 (detector strides) so a
+    # handful of odd sizes share one compile
+    H, W = -(-H // 64) * 64, -(-W // 64) * 64
+    for name in names:
+        img, scale = loaded[name]
+        out = model.detect(_pad_to(img, H, W)[None])
+        ok = np.asarray(out["valid"][0])
+        # reject detections inside the padding margin
+        xy = np.asarray(out["keypoints"][0])
+        ok = ok & (xy[:, 0] < img.shape[1] - 0.5) \
+            & (xy[:, 1] < img.shape[0] - 0.5)
+        kps[name] = (xy.astype(np.float64) + 0.5) / scale
+        descs[name] = np.asarray(out["descriptors"][0], np.float32)
+        valid[name] = ok
+    return kps, descs, valid
+
+
+def mutual_nn_ratio_match(d1, d2, v1, v2, ratio: float = 0.95,
+                          min_similarity: float = -1.0):
+    """Masked mutual-NN + ratio matching of L2-normalized descriptor sets
+    ([K1, C], [K2, C] with validity masks) — device matmul + argmax.
+
+    Returns (pairs [M, 2] int64, scores [M] f32) on host."""
+    import jax.numpy as jnp
+
+    sim = jnp.asarray(d1) @ jnp.asarray(d2).T            # [K1, K2] cosine
+    neg = -jnp.inf
+    sim = jnp.where(jnp.asarray(v1)[:, None] & jnp.asarray(v2)[None, :],
+                    sim, neg)
+    nn12 = jnp.argmax(sim, axis=1)
+    nn21 = jnp.argmax(sim, axis=0)
+    best = jnp.max(sim, axis=1)
+    # ratio test in distance space: d^2 = 2 - 2 sim for unit vectors
+    sim2 = sim.at[jnp.arange(sim.shape[0]), nn12].set(neg)
+    second = jnp.max(sim2, axis=1)
+    d_best = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+    d_second = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 1e-12))
+    keep = (nn21[nn12] == jnp.arange(sim.shape[0])) \
+        & (best > min_similarity) \
+        & (d_best < ratio * d_second) \
+        & jnp.isfinite(best)
+    idx = np.flatnonzero(np.asarray(keep))
+    pairs = np.stack([idx, np.asarray(nn12)[idx]], axis=1).astype(np.int64)
+    return pairs, np.asarray(best)[idx].astype(np.float32)
+
+
+def match_exhaustive(names: List[str], descs: Dict, valid: Dict,
+                     method: str = "sift", ratio: float = None,
+                     min_matches: int = 15) -> Tuple[Dict, Dict]:
+    """All-pairs matching. Returns (matches, scores) dicts keyed by
+    (name_i, name_j) with i < j in ``names`` order."""
+    matches, scores = {}, {}
+    if method == "sift":
+        import cv2
+
+        bf = cv2.BFMatcher(cv2.NORM_L2)
+        r = 0.8 if ratio is None else ratio
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                if descs[names[i]] is None or descs[names[j]] is None:
+                    continue
+                raw = bf.knnMatch(descs[names[i]], descs[names[j]], k=2)
+                good = [m for m, n in raw if m.distance < r * n.distance]
+                if len(good) < min_matches:
+                    continue
+                m = np.array([[g.queryIdx, g.trainIdx] for g in good],
+                             np.int64)
+                matches[(names[i], names[j])] = m
+                scores[(names[i], names[j])] = np.array(
+                    [1.0 - g.distance / 512.0 for g in good], np.float32)
+        return matches, scores
+
+    r = 0.95 if ratio is None else ratio
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            m, s = mutual_nn_ratio_match(descs[names[i]], descs[names[j]],
+                                         valid[names[i]], valid[names[j]],
+                                         ratio=r)
+            if len(m) < min_matches:
+                continue
+            matches[(names[i], names[j])] = m
+            scores[(names[i], names[j])] = s
+    return matches, scores
+
+
+def detect_and_match_dir(image_dir: Path, names: List[str],
+                         method: str = "sift", max_edge: int = 1600,
+                         n_features: int = 8000,
+                         detector_conf: Optional[dict] = None,
+                         ratio: float = None):
+    """Full front-end: detect + exhaustive match. Returns
+    (kps, matches, scores); geometric verification is the caller's job
+    (``sfm.two_view.verify_all_pairs``)."""
+    kps, descs, valid = detect_directory(image_dir, names, method=method,
+                                         max_edge=max_edge,
+                                         n_features=n_features,
+                                         conf=detector_conf)
+    n_det = {n: int(np.sum(valid[n])) for n in names}
+    logger.info("detect[%s]: %d images, %.0f keypoints/image", method,
+                len(names), np.mean(list(n_det.values())))
+    matches, scores = match_exhaustive(names, descs, valid, method=method,
+                                       ratio=ratio)
+    return kps, matches, scores

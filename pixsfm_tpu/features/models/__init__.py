@@ -4,7 +4,9 @@ dynamic module loading; here a simple name registry)."""
 from .base_model import BaseModel  # noqa: F401
 from .dsift import DSIFT
 from .image import ImageModel
+from .r2d2 import R2D2
 from .s2dnet import S2DNet
+from .superpoint import SuperPoint
 from .vggnet import VGGNet
 
 MODELS = {
@@ -12,6 +14,8 @@ MODELS = {
     "vggnet": VGGNet,
     "dsift": DSIFT,
     "image": ImageModel,
+    "superpoint": SuperPoint,
+    "r2d2": R2D2,
 }
 
 
