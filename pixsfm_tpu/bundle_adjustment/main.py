@@ -430,38 +430,72 @@ class BundleAdjuster:
         pair_o1 = pad_to(pair_o1, Q_pad, O)   # pad pairs -> invalid obs slot
         pair_o2 = pad_to(pair_o2, Q_pad, O)
 
-        # large-Np regime: switch the point-side segment reductions to the
-        # point-major [Np, T] table (scatter-free gather+sum) when the
-        # one-hot matmul would blow its operand budget AND the max track
-        # length keeps the table's padding waste bounded
+        # large-Np regime: past the point-side one-hot budget, prefer the
+        # point-major GRID obs ordering (slot = point*T + rank, exactly
+        # Np_pad*T slots): point reductions become reshape-sums and
+        # point->obs broadcasts become reshapes — no gathers at all in the
+        # CG hot loop (the [Np, T]-table fallback pays ~10 GB/s lane-axis
+        # gathers on TPU). Fall back to the table when the grid would
+        # inflate the obs axis (long tracks) or not tile the obs chunks.
         from ..ops.schur import _ONEHOT_BUDGET, make_point_major
         pt_slot = None
+        grid_src = None
         T_max = int(track_lens.max(initial=1))
         T_b = max(1 << int(np.ceil(np.log2(max(T_max, 1)))), 4)
-        if (Np_pad * opts.obs_chunk > _ONEHOT_BUDGET
-                and Np_pad * T_b <= 4 * O_pad):
+        large_pts = Np_pad * opts.obs_chunk > _ONEHOT_BUDGET
+        O_grid = Np_pad * T_b
+        if (opts.linear_solver == "cg" and large_pts
+                and O_grid <= 2 * O_pad and O_grid % opts.obs_chunk == 0):
+            import dataclasses
+            order = np.argsort(packed.obs_pt, kind="stable")
+            sorted_pts = np.asarray(packed.obs_pt)[order]
+            starts = np.searchsorted(sorted_pts, np.arange(Np_pad),
+                                     side="left")
+            slot = sorted_pts * T_b + (np.arange(O) - starts[sorted_pts])
+            grid_src = np.zeros(O_grid, np.int64)   # holes copy obs 0
+            grid_valid = np.zeros(O_grid, bool)
+            real_valid = (np.ones(O, bool) if obs_valid is None
+                          else np.asarray(obs_valid, bool))
+            grid_src[slot] = order
+            grid_valid[slot] = real_valid[order]
+            opts = dataclasses.replace(opts, obs_grid_T=T_b)
+            O_pad = O_grid
+        elif large_pts and Np_pad * T_b <= 4 * O_pad:
             pt_slot = jnp.asarray(
                 make_point_major(packed.obs_pt, Np_pad, O_pad))
         # image axis: the CG matvec reduces over the FULL observation axis,
-        # so its one-hot budget is I * O_pad (not chunked)
+        # so its one-hot budget is I * O_pad (not chunked). The grid/
+        # transposed regime uses fused one-hot matmuls instead of a table.
         img_slot = None
         n_img = len(packed.image_ids)
         img_lens = np.bincount(packed.obs_img, minlength=max(n_img, 1))
         Ti = int(img_lens.max(initial=1))
         Ti_b = max(1 << int(np.ceil(np.log2(max(Ti, 1)))), 4)
-        if (n_img * O_pad > _ONEHOT_BUDGET
+        if (grid_src is None and n_img * O_pad > _ONEHOT_BUDGET
                 and n_img * Ti_b <= 4 * O_pad):
             img_slot = jnp.asarray(
                 make_point_major(packed.obs_img, n_img, O_pad))
 
-        valid = np.zeros(O_pad, bool)
-        valid[:O] = True if obs_valid is None else np.asarray(obs_valid, bool)
+        if grid_src is None:
+            valid = np.zeros(O_pad, bool)
+            valid[:O] = (True if obs_valid is None
+                         else np.asarray(obs_valid, bool))
+
+            def prep(a):
+                return pad_to(a, O_pad)
+        else:
+            valid = grid_valid
+
+            def prep(a):
+                return np.asarray(a)[grid_src]
         obs = BAObservations(
-            img_idx=jnp.asarray(pad_to(packed.obs_img, O_pad)),
-            cam_idx=jnp.asarray(pad_to(packed.obs_cam, O_pad)),
-            pt_idx=jnp.asarray(pad_to(packed.obs_pt, O_pad)),
+            img_idx=jnp.asarray(prep(packed.obs_img)),
+            cam_idx=jnp.asarray(prep(packed.obs_cam)),
+            pt_idx=(jnp.asarray(prep(packed.obs_pt)) if grid_src is None
+                    else jnp.asarray((np.arange(O_grid) // T_b)
+                                     .astype(np.int32))),
             obs_data=jax.tree_util.tree_map(
-                lambda a: jnp.asarray(pad_to(a, O_pad)), obs_data),
+                lambda a: jnp.asarray(prep(a)), obs_data),
             valid=jnp.asarray(valid),
             pair_o1=jnp.asarray(pair_o1), pair_o2=jnp.asarray(pair_o2),
             pt_slot=pt_slot, img_slot=img_slot)

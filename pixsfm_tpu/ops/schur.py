@@ -83,6 +83,13 @@ class BAOptions:
     # reported and Ctrl-C lands between segments with the best-so-far
     # state kept (PyInterruptCallback parity)
     segment_iterations: int = 0
+    # >0: the caller packed the observation axis in POINT-MAJOR GRID order —
+    # obs slot o = point * obs_grid_T + rank, padded to exactly
+    # Np * obs_grid_T slots (holes carry valid=False). Point-side segment
+    # reductions then become reshape-sums and point->obs broadcasts become
+    # reshapes, replacing the [Np, T]-table lane-axis gathers that run at
+    # ~10 GB/s on TPU (the minor-dim gather path). CG large-O regime only.
+    obs_grid_T: int = 0
 
     @classmethod
     def from_solver_conf(cls, conf, **overrides) -> "BAOptions":
@@ -323,7 +330,17 @@ def ba_solve(residual_fn: Callable,
     # 15.26 GB (68x). Past the point-major threshold the CG path therefore
     # keeps all per-obs/per-point structs in [d, O] / [d, Np] layout
     # (~1.07x padding) and reduces over tracks with small static loops.
-    use_t = use_pm and not has_src and opts.linear_solver == "cg"
+    # GRID sub-regime (opts.obs_grid_T > 0): the obs axis itself is packed
+    # point-major (slot = point * T + rank, exactly Np*T slots), so the
+    # point reductions/broadcasts are reshape-shaped — no gather at all.
+    grid_T = int(getattr(opts, "obs_grid_T", 0) or 0)
+    use_grid = grid_T > 0 and not has_src and opts.linear_solver == "cg"
+    use_t = (use_pm or use_grid) and not has_src \
+        and opts.linear_solver == "cg"
+    if use_grid and O != Np * grid_T:
+        raise ValueError(
+            f"obs_grid_T={grid_T}: obs axis must be exactly Np*T "
+            f"({Np}*{grid_T}={Np * grid_T}), got O={O}")
 
     def _table_sum(table, vals):
         """Gather the [S, T] slot table (+1 zero sentinel row appended to
@@ -349,7 +366,7 @@ def ba_solve(residual_fn: Callable,
         return _table_sum(obs.img_slot, vals)
 
     # ---- transposed-layout helpers (use_t) --------------------------------
-    pt_tableT = obs.pt_slot.T if use_t else None   # [T, Np], hoisted
+    pt_tableT = (obs.pt_slot.T if (use_t and not use_grid) else None)
 
     def pt_table_sum_t(vals_t):
         """[d, O] -> [d, Np]: loop the (small, static) track axis with
@@ -363,6 +380,35 @@ def ba_solve(residual_fn: Callable,
             return acc + padded[:, pt_tableT[t]]
         return jax.lax.fori_loop(
             0, T, body, jnp.zeros(vals_t.shape[:-1] + (Np,), vals_t.dtype))
+
+    def pt_reduce_t(vals_t):
+        """Point reduction [d, O] -> [d, Np] in the transposed layout."""
+        if use_grid:
+            # grid order: a pure reshape-sum (measured ~85 GB/s on v5e vs
+            # ~10 GB/s for the minor-axis table gathers)
+            return vals_t.reshape(vals_t.shape[:-1] + (Np, grid_T)).sum(-1)
+        return pt_table_sum_t(vals_t)
+
+    def pt_expand_t(vals_t):
+        """Point -> obs broadcast [d, Np] -> [d, O] in the transposed layout."""
+        if use_grid:
+            return jnp.broadcast_to(
+                vals_t[..., None],
+                vals_t.shape + (grid_T,)).reshape(vals_t.shape[:-1] + (O,))
+        return vals_t[..., obs.pt_idx]
+
+    def idx_expand_t(vals, idx, S):
+        """Row expand [S, d] -> [d, O] through an index vector.
+
+        In the transposed regime the naive ``vals.T[:, idx]`` is a lane-axis
+        gather (~10 GB/s); the fused one-hot matmul runs on the MXU instead
+        and leaves the minor axis contiguous."""
+        if not use_t:
+            return vals.T[:, idx]
+        oh = (idx[None, :] == jnp.arange(S, dtype=jnp.int32)[:, None]
+              ).astype(vals.dtype)                       # [S, O], fused
+        return jnp.dot(vals.T, oh, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     def _seg_mm_t(idx, S, vals_t):
         """[d, O] -> [S, d] via the fused one-hot matmul, transposed so the
@@ -439,8 +485,59 @@ def ba_solve(residual_fn: Callable,
         vmask = jnp.where(jnp.arange(pad_O) < O, 1.0, 0.0) \
             .reshape(-1, opts.obs_chunk) * obs.valid[ochunks]
 
+        def chunk_gram_t(carry, ois, vm):
+            """Transposed-regime chunk eval: one fused Gram matrix per obs.
+
+            The row-major emission materializes per-obs block intermediates
+            ([n,C,13] J, [n,NR,3] B, ...) whose minor dims the TPU pads to
+            (8,128) — 268-537 MB per 65536-chunk, pure HBM waste. Here the
+            vmap emits everything n-minor ([C,13,n]) and the normal-equation
+            blocks come out of ONE Gram tensor G[i,j,n] = w * Ja_i·Ja_j with
+            Ja = [Jp | Jc | Jx | r], so every slice is already in the
+            [d, n] layout the transposed reductions want."""
+            def rj(oi):
+                sl = jax.tree_util.tree_map(lambda a: a[oi], obs.obs_data)
+                return residual_jac_fn(
+                    state.qvec[obs.img_idx[oi]],
+                    state.tvec[obs.img_idx[oi]],
+                    state.cams[obs.cam_idx[oi]],
+                    state.xyz[obs.pt_idx[oi]], sl, ctx)
+            r_t, J_t = jax.vmap(rj, out_axes=-1)(ois)   # [C,n], [C,13,n]
+            C = r_t.shape[0]
+            s = jnp.sum(r_t * r_t, axis=0)              # [n]
+            cost_c = 0.5 * jnp.sum(vm * loss(s))
+            out = dict(cost=carry["cost"] + cost_c)
+            w = vm * loss.weight(s)                     # [n]
+            Ja = jnp.concatenate([J_t, r_t[:, None, :]], axis=1)  # [C,nj,n]
+            if C <= 4:
+                G = None
+                for c in range(C):       # unrolled: stays on the VPU, fuses
+                    t_ = (Ja[c] * w)[:, None, :] * Ja[c][None, :, :]
+                    G = t_ if G is None else G + t_
+            else:
+                G = jnp.einsum("cin,cjn->ijn", Ja * w[None, None, :], Ja)
+            px = 6 + k
+            xe = px + 3
+            rc = xe                                     # residual column
+            img_rows = jnp.concatenate([
+                G[:6, :6].reshape(36, -1), G[:6, rc],
+                G[:6, 6:px].reshape(6 * k, -1)], axis=0)
+            out["img_acc"] = carry["img_acc"] + _seg_mm_t(
+                obs.img_idx[ois], I, img_rows)
+            cam_rows = jnp.concatenate([
+                G[6:px, 6:px].reshape(k * k, -1), G[6:px, rc]], axis=0)
+            out["cam_acc"] = carry["cam_acc"] + _seg_mm_t(
+                obs.cam_idx[ois], Nc, cam_rows)
+            ys = dict(B=G[:px, px:xe].reshape(NR * 3, -1),
+                      ptv=jnp.concatenate([
+                          G[px:xe, px:xe].reshape(9, -1),
+                          G[px:xe, rc]], axis=0))
+            return out, ys
+
         def chunk_fn(carry, inp):
             ois, vm = inp
+            if with_jac and residual_jac_fn is not None and use_t:
+                return chunk_gram_t(carry, ois, vm)
             if with_jac and residual_jac_fn is not None:
                 def rj(oi):
                     sl = jax.tree_util.tree_map(lambda a: a[oi],
@@ -535,7 +632,7 @@ def ba_solve(residual_fn: Callable,
                 img_acc=jnp.zeros((I, img_d), jnp.float32),
                 cam_acc=jnp.zeros((Nc, k * k + k), jnp.float32),
             )
-            if not use_pm:
+            if not (use_pm or use_t):
                 carry["pt_acc"] = jnp.zeros((Np, 12), jnp.float32)
             if has_src:
                 carry["src_acc"] = jnp.zeros((I, 42), jnp.float32)
@@ -548,7 +645,7 @@ def ba_solve(residual_fn: Callable,
         cam_acc = carry.pop("cam_acc")
         if use_t:
             ptv_t = jnp.moveaxis(ys["ptv"], 0, 1).reshape(12, pad_O)[:, :O]
-            ptacc_t = pt_table_sum_t(ptv_t)          # [12, Np]
+            ptacc_t = pt_reduce_t(ptv_t)             # [12, Np]
             pt_acc = None
         else:
             pt_acc = (pt_segment_sum(ys["ptv"].reshape(pad_O, 12)[:O])
@@ -608,12 +705,13 @@ def ba_solve(residual_fn: Callable,
             xm1 = point_free.astype(jnp.float32)            # [Np]
             sysd["Vt"] = sysd["Vt"] * xm1[None, None, :]
             sysd["gxt"] = sysd["gxt"] * xm1[None, :]
-            bm_t = jnp.concatenate([pm.T[:, obs.img_idx],
-                                    cm.T[:, obs.cam_idx]], axis=0)  # [NR, O]
+            bm_t = jnp.concatenate([idx_expand_t(pm, obs.img_idx, I),
+                                    idx_expand_t(cm, obs.cam_idx, Nc)],
+                                   axis=0)               # [NR, O]
             sysd["Hpc"] = (sysd["Hpc"] * pm[:, :, None]
                            * cm[obs_cam_of_img][:, None, :])
             sysd["Bt"] = (sysd["Bt"] * jnp.repeat(bm_t, 3, axis=0)
-                          * xm1[obs.pt_idx][None, :])
+                          * pt_expand_t(xm1[None, :]))
             return sysd
         xm = pt_mask.astype(jnp.float32)
         sysd["V"] = sysd["V"] * xm[:, :, None] * xm[:, None, :]
@@ -658,8 +756,9 @@ def ba_solve(residual_fn: Callable,
         Hcc_d = damp(Hcc, cam_mask)
 
         def gather_rows_t(vp, vc):
-            return jnp.concatenate([vp.T[:, obs.img_idx],
-                                    vc.T[:, obs.cam_idx]], axis=0)  # [NR, O]
+            return jnp.concatenate([idx_expand_t(vp, obs.img_idx, I),
+                                    idx_expand_t(vc, obs.cam_idx, Nc)],
+                                   axis=0)               # [NR, O]
 
         def scatter_rows_t(u_t, sign=1.0):
             up = _seg_mm_t(obs.img_idx, I, sign * u_t[:6])
@@ -691,8 +790,8 @@ def ba_solve(residual_fn: Callable,
             avc = avc + _segment_sum(obs_cam_of_img, Nc,
                                      jnp.einsum("iak,ia->ik", Hpc, vp))
             rows_t = gather_rows_t(vp, vc)
-            t_p = pt_table_sum_t(B_apply_T(rows_t))          # [3, Np]
-            w_o = vinv_apply(t_p)[:, obs.pt_idx]             # [3, O]
+            t_p = pt_reduce_t(B_apply_T(rows_t))             # [3, Np]
+            w_o = pt_expand_t(vinv_apply(t_p))               # [3, O]
             up, uc = scatter_rows_t(B_apply(w_o))
             return (avp - up, avc - uc)
 
@@ -705,7 +804,7 @@ def ba_solve(residual_fn: Callable,
                     jnp.einsum("cab,cb->ca", Minv_c, vc))
 
         # rhs = g_cam - W Vinv g_p
-        y_t = vinv_apply(gxt)[:, obs.pt_idx]                 # [3, O]
+        y_t = pt_expand_t(vinv_apply(gxt))                   # [3, O]
         cp, cc = scatter_rows_t(B_apply(y_t))
         rp, rc = gp - cp, gc - cc
 
@@ -717,7 +816,7 @@ def ba_solve(residual_fn: Callable,
         d_pose = -dp_neg * pose_mask6.astype(jnp.float32)
         d_cam = -dc_neg * cam_mask.astype(jnp.float32)
 
-        t_t = pt_table_sum_t(B_apply_T(gather_rows_t(d_pose, d_cam)))
+        t_t = pt_reduce_t(B_apply_T(gather_rows_t(d_pose, d_cam)))
         d_xyz_t = -vinv_apply(gxt + t_t) * ptm[None, :]
         d_xyz = d_xyz_t.T                                    # [Np, 3]
 
