@@ -476,33 +476,108 @@ def ba_solve(residual_fn: Callable,
             return residual_fn(q, t, c, X, sl)
 
     pad_O = int(np.ceil(max(O, 1) / opts.obs_chunk)) * opts.obs_chunk
+    n_chunks = pad_O // opts.obs_chunk
+    _oidx = jnp.arange(pad_O, dtype=jnp.int32) % jnp.maximum(O, 1)
+    _ochunks = _oidx.reshape(n_chunks, opts.obs_chunk)
+    _vmask = jnp.where(jnp.arange(pad_O) < O, 1.0, 0.0) \
+        .reshape(n_chunks, opts.obs_chunk) * obs.valid[_ochunks]
+
+    # Transposed-regime chunk data, prepared ONCE per solve at trace level
+    # (outside the LM while_loop, so XLA hoists it out of the loop): the
+    # per-observation row gathers it replaces (``state.qvec[img_idx[oi]]``
+    # under vmap — [n, small] intermediates the TPU pads ~32x, plus a slow
+    # gather per table) dominated the chunk eval: measured 219 ms of a
+    # 288 ms LM iteration at 2M obs on v5e. Scanning pre-chunked data and
+    # expanding camera parameters with fused one-hot matmuls runs the same
+    # r, J production in 30 ms (round-2 on-chip probe; exact parity).
+    # GRID sub-regime: the per-point xyz "gather" is a dynamic_slice +
+    # broadcast because chunk c covers points [c*n/T, (c+1)*n/T) exactly.
+    grid_slice = use_grid and grid_T > 0 and opts.obs_chunk % grid_T == 0
+    if not has_src:
+        def _chunk_t(a):
+            """[O, *d] -> [n_chunks, *d, chunk] (obs axis minor: ~1x pad)."""
+            at = jnp.moveaxis(a[_oidx], 0, -1)
+            at = at.reshape(a.shape[1:] + (n_chunks, opts.obs_chunk))
+            return jnp.moveaxis(at, -2, 0)
+        _scan_extra = dict(
+            imgc=obs.img_idx[_oidx].reshape(n_chunks, -1),
+            camc=obs.cam_idx[_oidx].reshape(n_chunks, -1),
+            cidx=jnp.arange(n_chunks, dtype=jnp.int32),
+            sl=jax.tree_util.tree_map(_chunk_t, obs.obs_data))
+        if not grid_slice:
+            _scan_extra["ptc"] = obs.pt_idx[_oidx].reshape(n_chunks, -1)
+    else:
+        _scan_extra = {}
+
+    def _oh_expand(vals, idx, S):
+        """[S, d] table -> [d, n] rows through a fused one-hot matmul
+        (always, independent of layout regime — the MXU expansion beats
+        the row gather in BOTH regimes; exact at Precision.HIGHEST)."""
+        oh = (idx[None, :] == jnp.arange(S, dtype=jnp.int32)[:, None]
+              ).astype(vals.dtype)
+        return jnp.dot(vals.T, oh, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def _rfn_nojac(q, t, c, X, sl):
+        try:
+            return residual_fn(q, t, c, X, sl, ctx)
+        except TypeError:
+            return residual_fn(q, t, c, X, sl)
 
     def eval_chunked(state: BAState, with_jac: bool):
         """Chunked per-obs eval → (cost, per-obs W blocks, reductions)."""
         zeros_d = jnp.zeros(PB + k + 3, jnp.float32)
-        oidx = jnp.arange(pad_O, dtype=jnp.int32) % jnp.maximum(O, 1)
-        ochunks = oidx.reshape(-1, opts.obs_chunk)
-        vmask = jnp.where(jnp.arange(pad_O) < O, 1.0, 0.0) \
-            .reshape(-1, opts.obs_chunk) * obs.valid[ochunks]
+        ochunks = _ochunks
+        vmask = _vmask
+        xyzT_pad = None
+        if use_t and grid_slice:
+            npc = opts.obs_chunk // grid_T
+            xyzT_pad = state.xyz.T                       # [3, Np]
+            pad_pts = n_chunks * npc
+            if pad_pts > Np:
+                # wrap-pad so padded chunks read finite (masked) points
+                xyzT_pad = jnp.concatenate(
+                    [xyzT_pad, xyzT_pad[:, :pad_pts - Np]], axis=1)
 
-        def chunk_gram_t(carry, ois, vm):
+        def expand_chunk_t(inp):
+            """Chunk parameter expansion in [d, n] layout.
+
+            Camera-side tables (qvec/tvec/cams) expand through fused
+            one-hot matmuls on the MXU (exact at Precision.HIGHEST);
+            points come from a grid dynamic_slice + broadcast when the
+            obs axis is grid-packed, else a [n, 3] row gather. Returns
+            the vmap in_axes for the point operand (static)."""
+            qv = _oh_expand(state.qvec, inp["imgc"], I)       # [4, n]
+            tv = _oh_expand(state.tvec, inp["imgc"], I)       # [3, n]
+            cm = _oh_expand(state.cams, inp["camc"], Nc)      # [k, n]
+            if grid_slice:
+                npc = opts.obs_chunk // grid_T
+                xz = jax.lax.dynamic_slice(
+                    xyzT_pad, (0, inp["cidx"] * npc), (3, npc))
+                xz = jnp.broadcast_to(
+                    xz[:, :, None],
+                    (3, npc, grid_T)).reshape(3, opts.obs_chunk)
+                return qv, tv, cm, xz, -1
+            return qv, tv, cm, state.xyz[inp["ptc"]], 0
+
+        def chunk_gram_t(carry, inp):
             """Transposed-regime chunk eval: one fused Gram matrix per obs.
 
             The row-major emission materializes per-obs block intermediates
             ([n,C,13] J, [n,NR,3] B, ...) whose minor dims the TPU pads to
             (8,128) — 268-537 MB per 65536-chunk, pure HBM waste. Here the
+            parameters arrive already expanded in [d, n] layout (fused
+            one-hot matmuls / grid slices — see the _scan_extra note), the
             vmap emits everything n-minor ([C,13,n]) and the normal-equation
             blocks come out of ONE Gram tensor G[i,j,n] = w * Ja_i·Ja_j with
             Ja = [Jp | Jc | Jx | r], so every slice is already in the
             [d, n] layout the transposed reductions want."""
-            def rj(oi):
-                sl = jax.tree_util.tree_map(lambda a: a[oi], obs.obs_data)
-                return residual_jac_fn(
-                    state.qvec[obs.img_idx[oi]],
-                    state.tvec[obs.img_idx[oi]],
-                    state.cams[obs.cam_idx[oi]],
-                    state.xyz[obs.pt_idx[oi]], sl, ctx)
-            r_t, J_t = jax.vmap(rj, out_axes=-1)(ois)   # [C,n], [C,13,n]
+            vm = inp["vm"]
+            qv, tv, cm, xz, x_ax = expand_chunk_t(inp)
+            r_t, J_t = jax.vmap(residual_jac_fn,
+                                in_axes=(-1, -1, -1, x_ax, -1, None),
+                                out_axes=-1)(qv, tv, cm, xz, inp["sl"],
+                                             ctx)   # [C,n], [C,13,n]
             C = r_t.shape[0]
             s = jnp.sum(r_t * r_t, axis=0)              # [n]
             cost_c = 0.5 * jnp.sum(vm * loss(s))
@@ -523,31 +598,42 @@ def ba_solve(residual_fn: Callable,
                 G[:6, :6].reshape(36, -1), G[:6, rc],
                 G[:6, 6:px].reshape(6 * k, -1)], axis=0)
             out["img_acc"] = carry["img_acc"] + _seg_mm_t(
-                obs.img_idx[ois], I, img_rows)
+                inp["imgc"], I, img_rows)
             cam_rows = jnp.concatenate([
                 G[6:px, 6:px].reshape(k * k, -1), G[6:px, rc]], axis=0)
             out["cam_acc"] = carry["cam_acc"] + _seg_mm_t(
-                obs.cam_idx[ois], Nc, cam_rows)
+                inp["camc"], Nc, cam_rows)
             ys = dict(B=G[:px, px:xe].reshape(NR * 3, -1),
                       ptv=jnp.concatenate([
                           G[px:xe, px:xe].reshape(9, -1),
                           G[px:xe, rc]], axis=0))
             return out, ys
 
+        def chunk_cost_t(carry, inp):
+            """Transposed-regime cost-only chunk: same fused parameter
+            expansion, residual_fn on the primal (no Jacobian)."""
+            vm = inp["vm"]
+            qv, tv, cm, xz, x_ax = expand_chunk_t(inp)
+            r_t = jax.vmap(_rfn_nojac, in_axes=(-1, -1, -1, x_ax, -1),
+                           out_axes=-1)(qv, tv, cm, xz, inp["sl"])
+            s = jnp.sum(r_t * r_t, axis=0)
+            cost_c = 0.5 * jnp.sum(vm * loss(s))
+            return dict(cost=carry["cost"] + cost_c), None
+
         def chunk_fn(carry, inp):
-            ois, vm = inp
-            if with_jac and residual_jac_fn is not None and use_t:
-                return chunk_gram_t(carry, ois, vm)
+            if use_t and with_jac and residual_jac_fn is not None:
+                return chunk_gram_t(carry, inp)
+            if not has_src and not with_jac:
+                return chunk_cost_t(carry, inp)
+            ois, vm = inp["ois"], inp["vm"]
             if with_jac and residual_jac_fn is not None:
-                def rj(oi):
-                    sl = jax.tree_util.tree_map(lambda a: a[oi],
-                                                obs.obs_data)
-                    return residual_jac_fn(
-                        state.qvec[obs.img_idx[oi]],
-                        state.tvec[obs.img_idx[oi]],
-                        state.cams[obs.cam_idx[oi]],
-                        state.xyz[obs.pt_idx[oi]], sl, ctx)
-                r, J = jax.vmap(rj)(ois)
+                # row-major emission, but the same fused parameter
+                # expansion as the transposed regime (the per-obs table
+                # gathers are the dominant cost either way)
+                qv, tv, cm, xz, x_ax = expand_chunk_t(inp)
+                r, J = jax.vmap(residual_jac_fn,
+                                in_axes=(-1, -1, -1, x_ax, -1, None),
+                                out_axes=0)(qv, tv, cm, xz, inp["sl"], ctx)
             elif with_jac:
                 def rfun(d, oi):
                     return obs_residual(state, d, oi)
@@ -637,7 +723,7 @@ def ba_solve(residual_fn: Callable,
             if has_src:
                 carry["src_acc"] = jnp.zeros((I, 42), jnp.float32)
         carry, ys = jax.lax.scan(chunk_fn, carry,
-                                 (ochunks, vmask))
+                                 dict(ois=ochunks, vm=vmask, **_scan_extra))
         if not with_jac:
             return carry
         # split the concatenated per-target accumulators back into blocks
