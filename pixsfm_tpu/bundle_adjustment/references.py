@@ -169,11 +169,18 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
 
     n_obs = len(obs_row)
     n_pad = bucket(n_obs)
-    patches_g = np.asarray(pf.patches)[obs_row]
-    if n_pad > n_obs:
-        patches_g = np.concatenate(
-            [patches_g, np.zeros((n_pad - n_obs,) + patches_g.shape[1:],
-                                 patches_g.dtype)])
+    if isinstance(pf.patches, np.ndarray):
+        patches_g = np.asarray(pf.patches)[obs_row]
+        if n_pad > n_obs:
+            patches_g = np.concatenate(
+                [patches_g, np.zeros((n_pad - n_obs,) + patches_g.shape[1:],
+                                     patches_g.dtype)])
+    else:
+        # device-resident packed patches: gather on device (padded rows point
+        # at row 0; their interpolated descriptors are sliced off below)
+        row_pad = np.zeros(n_pad, np.int32)
+        row_pad[:n_obs] = obs_row
+        patches_g = jnp.take(pf.patches, jnp.asarray(row_pad), axis=0)
 
     def pad(a, fill=0.0):
         a = np.asarray(a, np.float32)

@@ -54,11 +54,24 @@ def features_from_image_list(extractor: FeatureExtractor, image_list,
         init_cache(cache_path, channels, int(extractor.conf.patch_size),
                    str(extractor.conf.dtype), overwrite=True)
 
+    # device-resident mode: skip the host dict round-trip entirely and
+    # emplace DeviceFeatureMaps (patch payload stays in HBM between
+    # extraction and the solvers). Mutually exclusive with the H5 cache,
+    # which needs host arrays.
+    keep_dev = (bool(extractor.conf.get("keep_on_device", False))
+                and not use_cache)
+
     from .util.misc import progress_iter
     for image_name in progress_iter(list(image_list),
                                     desc="feature extraction"):
         kps = keypoints_per_image.get(image_name)
         kp_ids = (keypoint_ids_per_image or {}).get(image_name)
+        if keep_dev:
+            fmaps = extractor(image_dir / image_name, keypoints=kps,
+                              keypoint_ids=kp_ids)
+            for level, fmap in enumerate(fmaps):
+                manager.fset(level).emplace(image_name, fmap)
+            continue
         fmaps = extractor(image_dir / image_name, keypoints=kps,
                           keypoint_ids=kp_ids, as_dict=True)
         for level, data in enumerate(fmaps):

@@ -1,4 +1,4 @@
 from .featuremaps import (  # noqa: F401
-    FeatureManager, FeatureMap, FeaturePatch, FeatureSet, FeatureView,
-    PackedFeatures, kDensePatchId,
+    DeviceFeatureMap, FeatureManager, FeatureMap, FeaturePatch, FeatureSet,
+    FeatureView, PackedFeatures, kDensePatchId,
 )

@@ -75,6 +75,27 @@ def _compiled_extract_patches(ps: int, l2: bool, dtype_str: str):
     return run
 
 
+@lru_cache(maxsize=8)
+def _compiled_normalize_cast(l2: bool, dtype_str: str):
+    """Device-side l2-normalize + storage cast of a whole dense map (the
+    ``keep_on_device`` dense path: no host copy at all)."""
+    import jax
+    import jax.numpy as jnp
+
+    jdt = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
+           "float32": jnp.float32, "float64": jnp.float32}[dtype_str]
+
+    @jax.jit
+    def run(fmap):
+        f = fmap.astype(jnp.float32)
+        if l2:
+            f = f / jnp.maximum(
+                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+        return f.astype(jdt)
+
+    return run
+
+
 class FeatureExtractor:
     default_conf = {
         "device": "auto",
@@ -87,6 +108,12 @@ class FeatureExtractor:
         "pyr_scales": [1.0],
         "resize": "LANCZOS",
         "sparse": True,
+        # keep extracted patches (or the dense map) on the accelerator as a
+        # DeviceFeatureMap: FeatureView then packs solves with on-device
+        # gathers and patch data never round-trips through the host. For
+        # in-process pipelines; ignored when as_dict=True (cache writes need
+        # host arrays).
+        "keep_on_device": False,
         "use_cache": False,
         "overwrite_cache": False,
         "load_cache_on_init": False,
@@ -177,6 +204,8 @@ class FeatureExtractor:
         better_sparse = (keypoints is not None
                          and fmap.size > len(keypoints) * ps * ps * C)
 
+        keep_dev = bool(self.conf.get("keep_on_device", False)) and not as_dict
+
         if sparse and better_sparse:
             corners = (keypoints * scale - ps / 2.0).astype(np.int32)
             corners = np.clip(corners, [0, 0],
@@ -184,8 +213,13 @@ class FeatureExtractor:
             run = _compiled_extract_patches(
                 ps, bool(self.conf.l2_normalize), self.storage_dtype)
             import jax.numpy as jnp
-            patches = np.asarray(run(jnp.asarray(fmap),
-                                     jnp.asarray(corners, jnp.int32)))
+            patches_dev = run(jnp.asarray(fmap),
+                              jnp.asarray(corners, jnp.int32))
+            if keep_dev:
+                from .featuremaps import DeviceFeatureMap
+                return DeviceFeatureMap(patches_dev, list(keypoint_ids),
+                                        corners, scale, is_sparse=True)
+            patches = np.asarray(patches_dev)
             data = dict(patches=patches, corners=corners,
                         keypoint_ids=list(keypoint_ids),
                         metadata=dict(scale=scale, is_sparse=True,
@@ -195,6 +229,14 @@ class FeatureExtractor:
             return FeatureMap.from_arrays(
                 data["patches"], data["keypoint_ids"], data["corners"],
                 scale, is_sparse=True)
+
+        if keep_dev:
+            from .featuremaps import DeviceFeatureMap
+            import jax.numpy as jnp
+            run = _compiled_normalize_cast(bool(self.conf.l2_normalize),
+                                           self.storage_dtype)
+            return DeviceFeatureMap(run(jnp.asarray(fmap)), None, None,
+                                    scale, is_sparse=False)
 
         fmap = np.asarray(fmap)
         if self.conf.l2_normalize:

@@ -28,8 +28,8 @@ import numpy as np
 
 
 __all__ = [
-    "kDensePatchId", "FeaturePatch", "FeatureMap", "FeatureSet",
-    "FeatureManager", "FeatureView", "PackedFeatures",
+    "kDensePatchId", "FeaturePatch", "FeatureMap", "DeviceFeatureMap",
+    "FeatureSet", "FeatureManager", "FeatureView", "PackedFeatures",
 ]
 
 # Sentinel keypoint id under which a dense featuremap patch is stored
@@ -134,6 +134,106 @@ class FeatureMap:
 
     def __len__(self):
         return len(self.patches)
+
+
+class DeviceFeatureMap:
+    """Per-image featuremap whose patch payload stays on the accelerator.
+
+    The host-side :class:`FeatureMap` round-trips every patch through numpy;
+    on a remote accelerator the device->host->device copy of the patch stack
+    dominates the end-to-end KA/BA wall clock (a 10-image scene at 4k
+    keypoints x 16x16x128 bf16 is ~2.6 GB each way). This container keeps the
+    stacked patches as a device array straight out of extraction;
+    :class:`FeatureView` recognizes it and assembles ``PackedFeatures.patches``
+    with on-device gathers, so patch data never touches the host between
+    extraction and the solvers. Metadata (ids, corners, scale) stays on host.
+
+    Sparse form: ``batch [N, ps, ps, C]`` aligned with ``keypoint_ids`` /
+    ``corners [N, 2]``. Dense form: ``batch [h, w, C]`` (the reference's
+    ``kDensePatchId`` map, featuremap.h:103-118) with a single ``corner``.
+    """
+
+    def __init__(self, batch, keypoint_ids: Optional[Sequence[int]],
+                 corners: Optional[np.ndarray], scale,
+                 is_sparse: bool = True, upsampling_factor: float = 1.0,
+                 corner=(0, 0)):
+        self.batch = batch
+        self.is_sparse = is_sparse
+        self.scale = np.asarray(scale, np.float64).reshape(2)
+        self.upsampling_factor = float(upsampling_factor)
+        if is_sparse:
+            if keypoint_ids is None or corners is None:
+                raise ValueError("sparse DeviceFeatureMap needs ids + corners")
+            self._ids = [int(k) for k in keypoint_ids]
+            self.corners = np.asarray(corners, np.int64).reshape(-1, 2)
+            self._row = {k: i for i, k in enumerate(self._ids)}
+            self.corner = None
+        else:
+            self._ids = [kDensePatchId]
+            self._row = {}
+            self.corners = None
+            self.corner = np.asarray(corner, np.int64).reshape(2)
+
+    @property
+    def is_dense(self) -> bool:
+        return not self.is_sparse
+
+    def keypoint_ids(self) -> List[int]:
+        return list(self._ids)
+
+    def row_of(self, p2D_idx: int) -> int:
+        return self._row.get(int(p2D_idx), -1)
+
+    def __contains__(self, p2D_idx: int) -> bool:
+        return self.is_dense or int(p2D_idx) in self._row
+
+    def __len__(self):
+        return len(self._ids)
+
+    def get_patch(self, p2D_idx: int) -> FeaturePatch:
+        """Host materialization fallback (one device->host copy per call);
+        bulk consumers should go through :class:`FeatureView` instead."""
+        if self.is_dense:
+            return FeaturePatch(np.asarray(self.batch), self.corner,
+                                self.scale, self.upsampling_factor)
+        r = self.row_of(p2D_idx)
+        if r < 0:
+            raise KeyError(p2D_idx)
+        return FeaturePatch(np.asarray(self.batch[r]), self.corners[r],
+                            self.scale, self.upsampling_factor)
+
+    def to_host(self) -> FeatureMap:
+        """Full host copy as a classic :class:`FeatureMap` (cache writes)."""
+        if self.is_dense:
+            return FeatureMap.from_arrays(
+                np.asarray(self.batch)[None], [kDensePatchId],
+                self.corner[None], self.scale, is_sparse=False,
+                upsampling_factor=self.upsampling_factor)
+        return FeatureMap.from_arrays(
+            np.asarray(self.batch), self._ids, self.corners, self.scale,
+            is_sparse=True, upsampling_factor=self.upsampling_factor)
+
+
+def _compiled_window_cut(ps: int):
+    """Jitted batched fixed-size window slice out of a dense device map
+    (device-side equivalent of the host slicing in FeatureView; one dispatch
+    per image instead of one host slice per keypoint)."""
+    import jax
+
+    global _WINDOW_CUT_CACHE
+    try:
+        cache = _WINDOW_CUT_CACHE
+    except NameError:
+        cache = _WINDOW_CUT_CACHE = {}
+    if ps not in cache:
+        @jax.jit
+        def run(fmap, corners):
+            def one(c):
+                return jax.lax.dynamic_slice(
+                    fmap, (c[1], c[0], 0), (ps, ps, fmap.shape[-1]))
+            return jax.vmap(one)(corners)
+        cache[ps] = run
+    return cache[ps]
 
 
 class FeatureSet:
@@ -292,6 +392,48 @@ class PackedFeatures:
         return rows
 
 
+def _assemble_parts(parts):
+    """Stack FeatureView parts into the packed ``[B, h, w, C]`` patch array.
+
+    All-host parts -> plain np.stack (unchanged legacy path). Any device part
+    -> host rows are shipped up once and everything is concatenated on device,
+    preserving row order; dtypes are unified to the first device part's dtype
+    (storage dtype differences only arise when host- and device-extracted maps
+    are mixed in one view).
+    """
+    row_shapes = {(tuple(p.shape) if kind == "host" else tuple(p.shape[1:]))
+                  for kind, p in parts}
+    if len(row_shapes) > 1:
+        raise ValueError(
+            "cannot stack featuremaps of differing shapes "
+            f"({row_shapes}); pass keypoints= for dense maps or use "
+            "sparse extraction")
+    if all(kind == "host" for kind, _ in parts):
+        return np.stack([p for _, p in parts])
+
+    import jax.numpy as jnp
+    dev_dtype = next(p.dtype for kind, p in parts if kind == "dev")
+    arrs = []
+    host_buf: List[np.ndarray] = []
+
+    def flush():
+        if host_buf:
+            stacked = np.stack(host_buf)
+            if stacked.dtype != dev_dtype:
+                stacked = stacked.astype(np.float32)
+            arrs.append(jnp.asarray(stacked).astype(dev_dtype))
+            host_buf.clear()
+
+    for kind, p in parts:
+        if kind == "host":
+            host_buf.append(np.asarray(p))
+        else:
+            flush()
+            arrs.append(p if p.dtype == dev_dtype else p.astype(dev_dtype))
+    flush()
+    return arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, axis=0)
+
+
 class FeatureView:
     """Packs exactly the patches a solve touches (reference: featureview.cc:7-114).
 
@@ -308,7 +450,13 @@ class FeatureView:
         the reference's dense slicing, featuremap.cc:160-168)."""
         self.fset = fset
         ps = fset.patch_size
-        rows = []
+        # ``parts`` preserves row order; each element is ("host", one [h,w,C]
+        # row) or ("dev", a device batch of consecutive rows). When every map
+        # is host-backed this degenerates to the plain np.stack path; when
+        # any map is a DeviceFeatureMap, assembly happens on device and the
+        # patch payload never round-trips through the host.
+        parts: List[Tuple[str, object]] = []
+        n_rows = 0
         corners = []
         scales = []
         ups = []
@@ -317,13 +465,74 @@ class FeatureView:
         n_missing = 0
         for image_name, ids in required.items():
             fmap = fset.get_map(image_name, required_ids=list(ids))
+            if isinstance(fmap, DeviceFeatureMap):
+                kps = None if keypoints is None else keypoints.get(image_name)
+                if fmap.is_dense and kps is not None:
+                    # batched on-device window cut around each keypoint
+                    fh, fw = fmap.batch.shape[:2]
+                    want = [int(i) for i in ids
+                            if (image_name, int(i)) not in index]
+                    if not want:
+                        continue
+                    xy = np.asarray(kps, np.float64)[want]
+                    cpix = xy * fmap.scale - 0.5
+                    cs = np.clip(
+                        np.floor(cpix - ps / 2).astype(np.int64) +
+                        fmap.corner.astype(np.int64),
+                        [0, 0], [max(fw - ps, 0), max(fh - ps, 0)])
+                    import jax.numpy as jnp
+                    cut = _compiled_window_cut(ps)
+                    parts.append(("dev", cut(fmap.batch,
+                                             jnp.asarray(cs, jnp.int32))))
+                    for j, p2D_idx in enumerate(want):
+                        index[(image_name, p2D_idx)] = n_rows
+                        n_rows += 1
+                        corners.append(cs[j])
+                        scales.append(fmap.scale)
+                        ups.append(fmap.upsampling_factor)
+                    continue
+                if fmap.is_dense:
+                    # whole dense map as one shared patch (single-image use)
+                    dense_images[image_name] = n_rows
+                    parts.append(("dev", fmap.batch[None]))
+                    n_rows += 1
+                    corners.append(fmap.corner)
+                    scales.append(fmap.scale)
+                    ups.append(fmap.upsampling_factor)
+                    continue
+                want_rows = []
+                for p2D_idx in ids:
+                    key = (image_name, int(p2D_idx))
+                    if key in index:
+                        continue
+                    r = fmap.row_of(int(p2D_idx))
+                    if r < 0:
+                        n_missing += 1
+                        continue
+                    index[key] = n_rows
+                    n_rows += 1
+                    corners.append(fmap.corners[r])
+                    scales.append(fmap.scale)
+                    ups.append(fmap.upsampling_factor)
+                    want_rows.append(r)
+                if want_rows:
+                    sel = np.asarray(want_rows)
+                    if len(sel) == len(fmap) and \
+                            (sel == np.arange(len(fmap))).all():
+                        parts.append(("dev", fmap.batch))  # full map, in order
+                    else:
+                        import jax.numpy as jnp
+                        parts.append(("dev", jnp.take(
+                            fmap.batch, jnp.asarray(sel, jnp.int32), axis=0)))
+                continue
             if fmap.is_dense:
                 patch = fmap.get_patch(kDensePatchId)
                 kps = None if keypoints is None else keypoints.get(image_name)
                 if kps is None:
                     # whole dense map as one shared patch (single-image use)
-                    dense_images[image_name] = len(rows)
-                    rows.append(patch.data)
+                    dense_images[image_name] = n_rows
+                    parts.append(("host", patch.data))
+                    n_rows += 1
                     corners.append(patch.corner)
                     scales.append(patch.scale)
                     ups.append(patch.upsampling_factor)
@@ -341,8 +550,9 @@ class FeatureView:
                         patch.corner.astype(np.int64),
                         [0, 0], [max(fw - ps, 0), max(fh - ps, 0)])
                     cx, cy = int(corner[0]), int(corner[1])
-                    index[key] = len(rows)
-                    rows.append(patch.data[cy:cy + ps, cx:cx + ps])
+                    index[key] = n_rows
+                    n_rows += 1
+                    parts.append(("host", patch.data[cy:cy + ps, cx:cx + ps]))
                     corners.append(corner)
                     scales.append(patch.scale)
                     ups.append(patch.upsampling_factor)
@@ -358,8 +568,9 @@ class FeatureView:
                     n_missing += 1
                     continue
                 patch = fmap.get_patch(int(p2D_idx))
-                index[key] = len(rows)
-                rows.append(patch.data)
+                index[key] = n_rows
+                n_rows += 1
+                parts.append(("host", patch.data))
                 corners.append(patch.corner)
                 scales.append(patch.scale)
                 ups.append(patch.upsampling_factor)
@@ -368,15 +579,10 @@ class FeatureView:
             logger.warning(
                 "FeatureView: %d requested observation(s) have no extracted "
                 "patch; treating them as invalid.", n_missing)
-        if rows:
-            shapes = {r.shape for r in rows}
-            if len(shapes) > 1:
-                raise ValueError(
-                    "cannot stack featuremaps of differing shapes "
-                    f"({shapes}); pass keypoints= for dense maps or use "
-                    "sparse extraction")
+        if n_rows:
+            patches = _assemble_parts(parts)
             self.packed = PackedFeatures(
-                patches=np.stack(rows),
+                patches=patches,
                 corners=np.asarray(corners, dtype=np.float64).reshape(-1, 2),
                 scales=np.asarray(scales, dtype=np.float64).reshape(-1, 2),
                 upsampling=np.asarray(ups, dtype=np.float32),

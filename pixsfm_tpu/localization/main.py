@@ -131,7 +131,27 @@ def find_unique_min_reproj_inliers(points3D_id, qvec, tvec, camera,
 # ---------------------------------------------------------------------------
 
 def _pack_query_fmap(fmap: FeatureMap):
-    """FeatureMap -> (patches [N,ps,ps,C], meta arrays, {p2D_idx -> row})."""
+    """FeatureMap -> (patches [N,ps,ps,C], meta arrays, {p2D_idx -> row}).
+
+    DeviceFeatureMap (keep_on_device extraction) keeps the patch stack on
+    device; only the metadata is assembled on host."""
+    from ..features.featuremaps import DeviceFeatureMap
+    if isinstance(fmap, DeviceFeatureMap):
+        if fmap.is_dense:
+            patches = fmap.batch[None]
+            corners = np.asarray(fmap.corner, np.float32).reshape(1, 2)
+            scales = np.asarray(fmap.scale, np.float32).reshape(1, 2)
+            ups = np.asarray([fmap.upsampling_factor], np.float32)
+            return patches, corners, scales, ups, {kDensePatchId: 0}
+        ids = fmap.keypoint_ids()
+        order = np.argsort(ids)
+        import jax.numpy as jnp
+        patches = jnp.take(fmap.batch, jnp.asarray(order, jnp.int32), axis=0)
+        corners = fmap.corners[order].astype(np.float32)
+        scales = np.tile(fmap.scale.astype(np.float32), (len(ids), 1))
+        ups = np.full(len(ids), fmap.upsampling_factor, np.float32)
+        row_of = {int(ids[i]): r for r, i in enumerate(order)}
+        return patches, corners, scales, ups, row_of
     ids = sorted(fmap.patches.keys())
     patches = np.stack([fmap.patches[i].data for i in ids])
     corners = np.stack([fmap.patches[i].corner for i in ids]).astype(
