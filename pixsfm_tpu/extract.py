@@ -61,18 +61,28 @@ def features_from_image_list(extractor: FeatureExtractor, image_list,
     keep_dev = (bool(extractor.conf.get("keep_on_device", False))
                 and not use_cache)
 
+    # image decode pipelined ahead of the device forward: while the
+    # accelerator runs image N, a background thread opens/drafts/decodes
+    # image N+1 (util/prefetch.py; the async half of the reference's
+    # on-demand cache, SURVEY.md §2.9)
     from .util.misc import progress_iter
-    for image_name in progress_iter(list(image_list),
-                                    desc="feature extraction"):
+    from .util.prefetch import prefetch_map
+
+    def _load(image_name):
+        return image_name, extractor.load_image(image_dir / image_name)
+
+    depth = int(extractor.conf.get("prefetch_depth", 2))
+    for image_name, img in progress_iter(
+            prefetch_map(_load, list(image_list), depth=depth),
+            desc="feature extraction", total=len(list(image_list))):
         kps = keypoints_per_image.get(image_name)
         kp_ids = (keypoint_ids_per_image or {}).get(image_name)
         if keep_dev:
-            fmaps = extractor(image_dir / image_name, keypoints=kps,
-                              keypoint_ids=kp_ids)
+            fmaps = extractor(img, keypoints=kps, keypoint_ids=kp_ids)
             for level, fmap in enumerate(fmaps):
                 manager.fset(level).emplace(image_name, fmap)
             continue
-        fmaps = extractor(image_dir / image_name, keypoints=kps,
+        fmaps = extractor(img, keypoints=kps,
                           keypoint_ids=kp_ids, as_dict=True)
         for level, data in enumerate(fmaps):
             if use_cache:

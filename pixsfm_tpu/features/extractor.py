@@ -114,6 +114,9 @@ class FeatureExtractor:
         # in-process pipelines; ignored when as_dict=True (cache writes need
         # host arrays).
         "keep_on_device": False,
+        # images decoded this many ahead of the device forward by a
+        # background thread (extract.features_from_image_list); 0 disables
+        "prefetch_depth": 2,
         "use_cache": False,
         "overwrite_cache": False,
         "load_cache_on_init": False,
@@ -156,16 +159,32 @@ class FeatureExtractor:
         return image.resize((w_new, h_new),
                             RESIZE_FILTERS[str(self.conf.resize)])
 
+    def load_image(self, image_path) -> PIL.Image.Image:
+        """Open + decode an image for :meth:`__call__`.
+
+        ``draft`` must run BEFORE the decode (``convert`` triggers it) for
+        ``fast_image_load`` to actually use the JPEG draft-mode fast path —
+        this is also the host-side half that ``extract`` pipelines ahead of
+        the device forward (util/prefetch.py)."""
+        img = PIL.Image.open(image_path)
+        orig_size = img.size
+        if self.conf.fast_image_load:
+            img.draft("RGB", self.scaled_image_size(
+                img, self.conf.pyr_scales[0]))
+        img = img.convert("RGB")
+        # draft decoding shrinks the decoded size; keypoint->featuremap
+        # scales must be computed against the ORIGINAL image size
+        img.original_size = orig_size
+        return img
+
     # -- main entry ---------------------------------------------------------
     def __call__(self, image_path, keypoints: Optional[np.ndarray] = None,
                  keypoint_ids: Optional[Sequence[int]] = None,
                  as_dict: bool = False,
                  overwrite_sparse: Optional[bool] = None) -> List:
-        img = PIL.Image.open(image_path).convert("RGB")
-        img_size = img.size
-        if self.conf.fast_image_load:
-            img.draft("RGB", self.scaled_image_size(
-                img, self.conf.pyr_scales[0]))
+        img = (image_path if isinstance(image_path, PIL.Image.Image)
+               else self.load_image(image_path))
+        img_size = getattr(img, "original_size", img.size)
 
         fmaps = []
         for pyr_scale in self.conf.pyr_scales:

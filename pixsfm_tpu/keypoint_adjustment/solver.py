@@ -710,10 +710,15 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
     it_done = 0
     first_segment = True
     interrupted = False
+    from ..util.prefetch import prefetch_map
     while len(active) and it_done < lm_opts.max_iterations and not interrupted:
         still = []
         n_chunks = int(np.ceil(len(active) / chunk))
-        for ci in range(n_chunks):
+
+        def pack_chunk(ci):
+            """Host packing + device staging of one chunk — pipelined one
+            chunk ahead of the running solve (chunks index disjoint problem
+            rows, so packing N+1 while N's results write back is race-free)."""
             idx = active[ci * chunk:(ci + 1) * chunk]
             n = len(idx)
             pad = chunk - n
@@ -736,13 +741,18 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
             upper = pad0(upper_np[idx], 1e30)
             pmask = np.zeros(chunk, bool)
             pmask[:n] = True
-
-            try:
-                x, summary = run_chunk_c(
-                    all_patches, jnp.asarray(x0), data, jnp.asarray(kp_free),
+            return (idx, n, jnp.asarray(x0), data, jnp.asarray(kp_free),
                     jnp.asarray(lower), jnp.asarray(upper),
                     jnp.asarray(pmask),
                     jnp.asarray(pad0(lam_cur[idx], lm_opts.initial_lambda)))
+
+        packed_chunks = prefetch_map(pack_chunk, range(n_chunks), depth=1)
+        for ci, (idx, n, x0_d, data, kp_free_d, lower_d, upper_d, pmask_d,
+                 lam_d) in enumerate(packed_chunks):
+            try:
+                x, summary = run_chunk_c(
+                    all_patches, x0_d, data, kp_free_d, lower_d, upper_d,
+                    pmask_d, lam_d)
                 x_cur[idx] = np.asarray(x).reshape(chunk, K * 2)[:n]
                 lam_cur[idx] = np.asarray(summary.lam)[:n]
                 conv = np.asarray(summary.converged)[:n]
