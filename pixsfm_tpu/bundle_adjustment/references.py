@@ -107,12 +107,20 @@ def robust_mean_irls(descriptors: jnp.ndarray, valid: jnp.ndarray,
 def extract_references(reconstruction: Reconstruction, feature_set, view,
                        conf, interp: InterpolationConfig,
                        point3D_ids: Optional[Sequence[int]] = None,
-                       keep_observations: Optional[bool] = None
-                       ) -> Dict[int, Reference]:
+                       keep_observations: Optional[bool] = None,
+                       sharding=None) -> Dict[int, Reference]:
     """Compute references for all (or the given) points.
 
     conf: the ``references`` config subtree ({loss, iters, keep_observations,
     compute_offsets3D}).
+
+    ``sharding``: optional ``jax.sharding.NamedSharding`` over the batch axis
+    — both device stages (per-observation descriptor interpolation and
+    per-point IRLS) are embarrassingly parallel, so sharding their inputs
+    data-parallels the extraction over the mesh with zero cross-chip
+    communication (the multi-chip analogue of the reference's per-bin thread
+    pool, reference_extractor.h:125-162). Use
+    ``parallel.sharded.sharded_reference_extraction`` for the packaged form.
     """
     import time
     t0 = time.time()
@@ -167,8 +175,15 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
     # batch padded to power-of-two buckets)
     from ..util.jit_cache import bucket, interp_static_key
 
+    n_devices = (int(np.prod(list(sharding.mesh.shape.values())))
+                 if sharding is not None else 1)
+
+    def stage(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding) if sharding is not None else x
+
     n_obs = len(obs_row)
-    n_pad = bucket(n_obs)
+    n_pad = -(-bucket(n_obs) // n_devices) * n_devices
     if isinstance(pf.patches, np.ndarray):
         patches_g = np.asarray(pf.patches)[obs_row]
         if n_pad > n_obs:
@@ -194,15 +209,17 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
     pc = (xy_p * scales - 0.5 - corners) * ups[:, None]
 
     run = _compiled_node_eval(interp_static_key(interp))
-    desc = np.asarray(run(jnp.asarray(patches_g), jnp.asarray(pc[:, 1]),
-                          jnp.asarray(pc[:, 0])))[:n_obs]
+    desc = np.asarray(run(stage(patches_g), stage(pc[:, 1]),
+                          stage(pc[:, 0])))[:n_obs]
 
-    # pad tracks to T_max and run IRLS batched over points
+    # pad tracks to T_max and run IRLS batched over points (points axis
+    # padded to the mesh size when sharded)
     counts = np.bincount(obs_pt, minlength=len(pids))
     from ..util.jit_cache import bucket
     T = bucket(int(counts.max()) if len(counts) else 1, minimum=2)
-    track_desc = np.zeros((len(pids), T, D), np.float32)
-    track_valid = np.zeros((len(pids), T), bool)
+    n_pts = -(-len(pids) // n_devices) * n_devices
+    track_desc = np.zeros((n_pts, T, D), np.float32)
+    track_valid = np.zeros((n_pts, T), bool)
     # slot within track, vectorized: rank of each observation among its
     # track's observations (stable sort keeps the original order per track)
     obs_pt = np.asarray(obs_pt)
@@ -220,8 +237,7 @@ def extract_references(reconstruction: Reconstruction, feature_set, view,
 
     run_irls = _compiled_irls((loss.name, tuple(loss.params)), iters,
                               interp.l2_normalize)
-    means = np.asarray(run_irls(jnp.asarray(track_desc),
-                                jnp.asarray(track_valid)))
+    means = np.asarray(run_irls(stage(track_desc), stage(track_valid)))
 
     # per-point: observation closest to the robust mean
     d2 = np.sum((track_desc - means[:, None, :]) ** 2, axis=2)

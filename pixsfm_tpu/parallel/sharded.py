@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 __all__ = ["make_mesh", "shard_ka_chunk", "sharded_ka_solve",
-           "sharded_ba_solve"]
+           "sharded_ba_solve", "sharded_reference_extraction"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -164,3 +164,22 @@ def sharded_ba_solve(residual_fn, state0, obs, loss, pose_free, tvec_free,
                         jax.device_put(jnp.asarray(cam_free), repl),
                         jax.device_put(jnp.asarray(point_free), repl),
                         opts=opts)
+
+
+def sharded_reference_extraction(reconstruction, feature_set, view, conf,
+                                 interp, mesh: Mesh, axis: str = "data",
+                                 **kwargs):
+    """Reference extraction with both device stages (per-observation
+    descriptor interpolation + per-point IRLS) data-parallel over ``mesh``.
+
+    Both stages are batched elementwise programs, so sharding the batch axis
+    needs no cross-chip communication at all — the multi-chip analogue of the
+    reference's per-point3D-bin thread pool (reference_extractor.h:125-162).
+    Same signature/result as ``bundle_adjustment.references.extract_references``.
+    """
+    from ..bundle_adjustment.references import extract_references
+
+    shard = NamedSharding(mesh, P(axis))
+    with mesh:
+        return extract_references(reconstruction, feature_set, view, conf,
+                                  interp, sharding=shard, **kwargs)

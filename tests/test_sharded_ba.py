@@ -116,3 +116,33 @@ def test_sharded_ka_matches_single_device():
     np.testing.assert_allclose(kp_sh, kp_ref, atol=5e-4)
     np.testing.assert_allclose(sum_sh["final_cost"], sum_ref["final_cost"],
                                rtol=1e-4)
+
+
+def test_sharded_reference_extraction_matches_single_device():
+    """Reference extraction with both device stages sharded over the 8-dev
+    mesh == the unsharded result (pure data parallelism, no collectives)."""
+    from pixsfm_tpu.base.interpolation import InterpolationConfig
+    from pixsfm_tpu.bundle_adjustment.references import extract_references
+    from pixsfm_tpu.features.featuremaps import FeatureView
+    from pixsfm_tpu.parallel.sharded import sharded_reference_extraction
+    from test_feature_reference_ba import featuremetric_scene
+
+    rec, fset = featuremetric_scene(seed=11, n_images=4, n_points=24)
+    packed = pack_ba_problem(rec)
+    view = FeatureView.from_reconstruction(fset, rec, packed.point_ids)
+    interp = InterpolationConfig(mode="BICUBIC", l2_normalize=False)
+    conf = {"loss": {"name": "cauchy", "params": [0.25]}, "iters": 10,
+            "keep_observations": True}
+
+    refs_single = extract_references(rec, fset, view, conf, interp)
+    mesh = make_mesh()
+    refs_sharded = sharded_reference_extraction(rec, fset, view, conf,
+                                                interp, mesh)
+
+    assert set(refs_single) == set(refs_sharded)
+    for pid in refs_single:
+        a, b = refs_single[pid], refs_sharded[pid]
+        assert a.source == b.source
+        np.testing.assert_allclose(a.descriptor, b.descriptor,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(a.costs, b.costs, rtol=1e-4, atol=1e-6)
