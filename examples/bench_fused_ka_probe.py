@@ -70,16 +70,30 @@ def make_probe(P, K, ps, C, T, dtype):
             kp = kp_ref[0] + 0.003 * i               # [K, 2] moving queries
             wc, dwc = dense_taps(kp[:, 0])
             wr, dwr = dense_taps(kp[:, 1])
-            wrs = jnp.stack([wr, dwr], 1)            # [K, 2, ps]
-            p32 = patch.astype(jnp.float32)
-            rm = jnp.einsum("ksr,krwc->kswc", wrs, p32,
-                            preferred_element_type=jnp.float32)
-            wcs = jnp.stack([wc, dwc], 1)            # [K, 2, ps]
-            out = jnp.einsum("ktw,kswc->ktsc", wcs, rm,
-                             preferred_element_type=jnp.float32)
-            f = out[:, 0, 0]
-            dfdr = out[:, 0, 1]
-            dfdc = out[:, 1, 0]
+            p32 = patch.astype(jnp.float32).reshape(K, ps, ps * C)
+            # slice-free batched MXU matmuls (einsum/sliced reductions hit
+            # Mosaic layout restrictions under shape_invariant_numerics)
+            # lhs needs a (unit) non-contracting dim: Mosaic's batched dot
+            # rejects pure batched mat-vec shapes
+            dims2 = (((2,), (1,)), ((0,), (0,)))
+
+            def rowmix(w):       # [K, 1, ps] x [K, ps, ps*C] -> [K, ps, C]
+                out = jax.lax.dot_general(
+                    w[:, None, :], p32, dims2,
+                    preferred_element_type=jnp.float32)
+                return out.reshape(K, ps, C)
+
+            rm_wr = rowmix(wr)
+            rm_dwr = rowmix(dwr)
+
+            def mixc(w, rm):     # [K, 1, ps] x [K, ps, C] -> [K, C]
+                return jax.lax.dot_general(
+                    w[:, None, :], rm, dims2,
+                    preferred_element_type=jnp.float32).reshape(K, C)
+
+            f = mixc(wc, rm_wr)
+            dfdc = mixc(dwc, rm_wr)
+            dfdr = mixc(wc, rm_dwr)
             # L2 + chain rule (the real hot path applies it every eval)
             inv = jax.lax.rsqrt(jnp.maximum(
                 jnp.sum(f * f, axis=-1, keepdims=True), 1e-24))
@@ -90,7 +104,8 @@ def make_probe(P, K, ps, C, T, dtype):
             dfdc = dfdc - jnp.sum(fn * dfdc, -1, keepdims=True) * fn
             return acc + jnp.sum(fn) + jnp.sum(dfdr) + jnp.sum(dfdc)
 
-        out_ref[0, 0] = jax.lax.fori_loop(0, T, body, jnp.float32(0))
+        acc = jax.lax.fori_loop(0, T, body, jnp.float32(0))
+        out_ref[0] = jnp.full((8, 128), acc, jnp.float32)
 
     call = pl.pallas_call(
         kernel,
@@ -101,9 +116,9 @@ def make_probe(P, K, ps, C, T, dtype):
             pl.BlockSpec((1, K, ps, ps, C), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, 8, 128), jnp.float32),
     )
     return call
 
@@ -120,7 +135,7 @@ def main():
     t0 = time.time()
     out = call(kp, patches)
     out.block_until_ready()
-    _ = float(np.asarray(out)[0, 0])
+    _ = float(np.asarray(out)[0, 0, 0])
     print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
 
     best = None
@@ -129,7 +144,7 @@ def main():
         o = None
         for _ in range(4):
             o = call(kp, patches)
-        _ = float(np.asarray(o)[0, 0])
+        _ = float(np.asarray(o)[0, 0, 0])
         dt_run = (time.time() - t0) / 4
         best = dt_run if best is None else min(best, dt_run)
     per = best / (P * T) * 1e6
