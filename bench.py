@@ -20,6 +20,9 @@ them; added per round-1 review):
   patches, windowed bicubic + L2, analytic-Jacobian path.
 - ``extract_imgs_per_s``: S2DNet (1-level) dense-feature forward at 480x640
   in bf16.
+- ``qloc_queries_per_s``: end-to-end query localization (QKA -> PnP
+  LO-RANSAC -> QBA, robust_mean references, ~50 correspondences, C=8
+  patches) — the serving-path metric; includes all host work.
 
 Prints ONE JSON line.
 """
@@ -485,6 +488,90 @@ def bench_extract(H=480, W=640, reps=20):
     return 1.0 / max(best, 1e-9)
 
 
+def bench_localize(n_images=5, n_points=60, C=8, ps=16, reps=8):
+    """End-to-end localization throughput (queries/s): synthetic
+    featuremetric scene, one image held out as the query, repeated
+    QKA -> PnP -> QBA with fresh keypoint noise each repetition."""
+    from pixsfm_tpu.features.featuremaps import (FeatureMap, FeaturePatch,
+                                                 FeatureSet)
+    from pixsfm_tpu.localization import QueryLocalizer
+    from pixsfm_tpu.sfm.synthetic import synthetic_reconstruction
+
+    rec = synthetic_reconstruction(n_images=n_images, n_points=n_points,
+                                   noise_px=0.0, seed=3)
+    rng = np.random.default_rng(3)
+    sig = {pid: rng.normal(0, 1, C) for pid in rec.points3D}
+    grad = {pid: rng.normal(0, 0.1, (C, 2)) for pid in rec.points3D}
+    fset = FeatureSet(channels=C, patch_size=ps, dtype="float32")
+    for im in rec.images.values():
+        fmap = FeatureMap(is_sparse=True)
+        for p2D_idx, pid in enumerate(im.point3D_ids):
+            if pid < 0:
+                continue
+            xy = im.xys[p2D_idx]
+            corner = np.floor(xy - ps / 2).astype(np.int64)
+            rr, cc = np.meshgrid(np.arange(ps), np.arange(ps), indexing="ij")
+            dx = corner[0] + cc + 0.5 - xy[0]
+            dy = corner[1] + rr + 0.5 - xy[1]
+            patch = (sig[pid][None, None] + grad[pid][None, None, :, 0]
+                     * dx[..., None] + grad[pid][None, None, :, 1]
+                     * dy[..., None])
+            fmap.patches[p2D_idx] = FeaturePatch(
+                patch.astype(np.float32), corner, np.array([1.0, 1.0]))
+        fset.emplace(im.name, fmap)
+
+    qid = max(rec.images)
+    query = rec.images[qid]
+    q_cam = rec.cameras[query.camera_id]
+    q_fmap = fset.get_map(query.name)
+    rec2 = rec.copy()
+    for p in rec2.points3D.values():
+        p.track = [(i, j) for (i, j) in p.track if i != qid]
+    del rec2.images[qid]
+    rec2.points3D = {pid: p for pid, p in rec2.points3D.items()
+                     if p.track_length >= 2}
+    p2D_idxs = [i for i, pid in enumerate(query.point3D_ids)
+                if pid >= 0 and pid in rec2.points3D]
+    p3D_ids = [int(query.point3D_ids[i]) for i in p2D_idxs]
+
+    class _Mgr:
+        num_levels = 1
+
+        def fset(self, i):
+            return fset
+
+    loc = QueryLocalizer(
+        rec2,
+        conf={"interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+              "target_reference": "robust_mean",
+              "references": {"loss": {"name": "cauchy", "params": [0.25]},
+                             "iters": 20, "keep_observations": True},
+              "QKA": {"apply": True, "optimizer": {
+                  "solver": {"max_num_iterations": 20}}},
+              "QBA": {"apply": True, "optimizer": {
+                  "solver": {"max_num_iterations": 20}}}},
+        dense_features=_Mgr())
+
+    def one(seed):
+        noisy = query.xys.copy()
+        noisy[p2D_idxs] += np.random.default_rng(seed).uniform(
+            -0.8, 0.8, (len(p2D_idxs), 2))
+        out = loc.localize(noisy, p2D_idxs, p3D_ids, q_cam,
+                           query_fmaps=[q_fmap])
+        assert out["success"]
+        return out
+
+    one(0)  # compile QKA/QBA programs
+    best = None
+    for r in range(3):
+        t0 = time.time()
+        for i in range(reps):
+            one(100 + r * reps + i)
+        dt = (time.time() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    return 1.0 / max(best, 1e-9)
+
+
 # ---------------------------------------------------------------------------
 
 def main():
@@ -520,7 +607,8 @@ def main():
                     ("fm_ba_lm_ms_per_iter_20k_obs_c128",
                      bench_ba_featuremetric),
                     ("ba_lm_ms_per_iter_2m_obs_500k_pts", bench_ba_large),
-                    ("extract_imgs_per_s", bench_extract)):
+                    ("extract_imgs_per_s", bench_extract),
+                    ("qloc_queries_per_s", bench_localize)):
         try:
             out[key] = round(fn(), 2)
         except Exception as e:  # never lose the headline metric

@@ -49,15 +49,26 @@ __all__ = [
 
 def compute_reprojection_errors(points2D, points3D, qvec, tvec,
                                 camera: Camera) -> np.ndarray:
+    """Per-correspondence reprojection error (px); +inf behind the camera.
+
+    Pure numpy for the standard models: this runs twice per localized query
+    on tiny arrays, and a device round-trip per call dominates per-query
+    serving latency on remote accelerators. Exotic models fall back to the
+    jax projection."""
     X = np.asarray(points3D, np.float64).reshape(-1, 3)
-    proj = np.asarray(world_to_pixel(
-        camera.model, jnp.asarray(camera.params), jnp.asarray(qvec),
-        jnp.asarray(tvec), jnp.asarray(X)))
-    R = np.asarray(quat_to_rotmat(jnp.asarray(
-        np.asarray(qvec) / np.linalg.norm(qvec))))
-    depths = (R @ X.T).T[:, 2] + np.asarray(tvec)[2]
+    try:
+        from .pnp import project_np
+        q = np.asarray(qvec, np.float64)
+        proj, depths = project_np(camera, q / np.linalg.norm(q), tvec, X)
+    except ValueError:  # camera model without a numpy fast path
+        proj = np.asarray(world_to_pixel(
+            camera.model, jnp.asarray(camera.params), jnp.asarray(qvec),
+            jnp.asarray(tvec), jnp.asarray(X)))
+        R = np.asarray(quat_to_rotmat(jnp.asarray(
+            np.asarray(qvec) / np.linalg.norm(qvec))))
+        depths = (R @ X.T).T[:, 2] + np.asarray(tvec)[2]
     err = np.linalg.norm(proj - np.asarray(points2D).reshape(-1, 2), axis=1)
-    err[depths <= 0] = np.inf
+    err = np.where(np.asarray(depths) <= 0, np.inf, err)
     return err
 
 
@@ -749,6 +760,25 @@ class QueryLocalizer:
     def _full_refs(self, p3D_ids, *args):
         return [[refs[p] for p in p3D_ids] for refs in self.references]
 
+    def extract_query_fmaps(self, keypoints: np.ndarray, pnp_point2D_idxs,
+                            image_path):
+        """Dense features at the query keypoints used by the correspondences.
+
+        Factored out of :meth:`localize` so batch pipelines can extract the
+        NEXT query's features (device forward) while the current query runs
+        its host-side PnP/RANSAC (localize.py uses this via util/prefetch).
+        Extracting a superset of keypoints is safe — QKA/QBA look patches up
+        by keypoint id."""
+        if self.extractor is None:
+            from ..features.extractor import FeatureExtractor
+            self.extractor = FeatureExtractor(self.conf.dense_features)
+        keypoints = np.array(keypoints, np.float64)
+        required = sorted(set(int(i) for i in pnp_point2D_idxs))
+        return self.extractor(
+            image_path, keypoints=keypoints[required],
+            keypoint_ids=required,
+            overwrite_sparse=self.conf.get("overwrite_features_sparse"))
+
     # -- main entry ---------------------------------------------------------
     def localize(self, keypoints: np.ndarray, pnp_point2D_idxs,
                  pnp_points3D_id, query_camera: Camera, image_path=None,
@@ -778,14 +808,9 @@ class QueryLocalizer:
         pnp_points3D = [self.reconstruction.points3D[p].xyz
                         for p in pnp_points3D_id]
         if query_fmaps is None and require_feats:
-            if self.extractor is None:
-                from ..features.extractor import FeatureExtractor
-                self.extractor = FeatureExtractor(self.conf.dense_features)
-            required = sorted(set(int(i) for i in pnp_point2D_idxs))
-            query_fmaps = self.extractor(
-                image_path, keypoints=keypoints[required],
-                keypoint_ids=required,
-                overwrite_sparse=self.conf.get("overwrite_features_sparse"))
+            query_fmaps = self.extract_query_fmaps(keypoints,
+                                                   pnp_point2D_idxs,
+                                                   image_path)
 
         pnp_points2D = keypoints[np.asarray(pnp_point2D_idxs, np.int64)]
         if require_feats:

@@ -105,40 +105,64 @@ def localize_queries(localizer: QueryLocalizer,
                      pairs: List[Tuple[str, str]],
                      matches: Dict[Tuple[str, str], np.ndarray],
                      image_dir: Optional[Path] = None,
-                     covisibility_clustering: bool = False
-                     ) -> Dict[str, Dict]:
+                     covisibility_clustering: bool = False,
+                     prefetch_depth: int = 2) -> Dict[str, Dict]:
+    """Localize all queries.
+
+    Without clustering, correspondence building + query feature extraction
+    are pipelined ``prefetch_depth`` queries ahead of the QKA/PnP/QBA
+    consumer (util/prefetch.py): the device runs query N+1's feature forward
+    while query N's host-side RANSAC executes. ``prefetch_depth=0`` restores
+    the serial loop (also used with clustering, whose correspondences depend
+    on the per-query clusters)."""
     results = {}
+    require_feats = (localizer.conf.QKA.apply or localizer.conf.QBA.apply)
+
+    if not covisibility_clustering:
+        from .util.prefetch import prefetch_map
+
+        def prepare(item):
+            qname, qcam = item
+            image_path = (Path(image_dir) / qname) if image_dir else None
+            p2D_idxs, p3D_ids = build_query_correspondences(
+                localizer.reconstruction, qname, pairs, matches)
+            fmaps = None
+            if p2D_idxs and require_feats and image_path is not None:
+                fmaps = localizer.extract_query_fmaps(
+                    keypoints[qname], p2D_idxs, image_path)
+            return qname, qcam, image_path, p2D_idxs, p3D_ids, fmaps
+
+        for (qname, qcam, image_path, p2D_idxs, p3D_ids,
+             fmaps) in prefetch_map(prepare, queries, depth=prefetch_depth):
+            if not p2D_idxs:
+                results[qname] = {"success": False}
+                continue
+            results[qname] = localizer.localize(
+                keypoints[qname], p2D_idxs, p3D_ids, qcam,
+                image_path=image_path, query_fmaps=fmaps)
+        return results
+
     for qname, qcam in queries:
         image_path = (Path(image_dir) / qname) if image_dir else None
-        if covisibility_clustering:
-            clusters = covisibility_clusters(localizer.reconstruction, qname,
-                                             pairs, matches)
-            best = {"success": False, "num_inliers": -1}
-            for cluster in clusters:
-                sub_pairs = [p for p in pairs
-                             if qname in p and (p[0] in cluster
-                                                or p[1] in cluster)]
-                p2D_idxs, p3D_ids = build_query_correspondences(
-                    localizer.reconstruction, qname, sub_pairs, matches)
-                if not p2D_idxs:
-                    continue
-                pose = localizer.localize(keypoints[qname], p2D_idxs,
-                                          p3D_ids, qcam,
-                                          image_path=image_path)
-                if pose.get("success") and \
-                        pose.get("num_inliers", 0) > best["num_inliers"]:
-                    best = pose
-            results[qname] = best if best["num_inliers"] >= 0 \
-                else {"success": False}
-            continue
-        p2D_idxs, p3D_ids = build_query_correspondences(
-            localizer.reconstruction, qname, pairs, matches)
-        if not p2D_idxs:
-            results[qname] = {"success": False}
-            continue
-        pose = localizer.localize(keypoints[qname], p2D_idxs, p3D_ids, qcam,
-                                  image_path=image_path)
-        results[qname] = pose
+        clusters = covisibility_clusters(localizer.reconstruction, qname,
+                                         pairs, matches)
+        best = {"success": False, "num_inliers": -1}
+        for cluster in clusters:
+            sub_pairs = [p for p in pairs
+                         if qname in p and (p[0] in cluster
+                                            or p[1] in cluster)]
+            p2D_idxs, p3D_ids = build_query_correspondences(
+                localizer.reconstruction, qname, sub_pairs, matches)
+            if not p2D_idxs:
+                continue
+            pose = localizer.localize(keypoints[qname], p2D_idxs,
+                                      p3D_ids, qcam,
+                                      image_path=image_path)
+            if pose.get("success") and \
+                    pose.get("num_inliers", 0) > best["num_inliers"]:
+                best = pose
+        results[qname] = best if best["num_inliers"] >= 0 \
+            else {"success": False}
     return results
 
 

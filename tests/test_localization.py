@@ -316,3 +316,82 @@ class TestPatchWarpQBA:
         err0 = np.linalg.norm(t0 - t_true)
         err1 = np.linalg.norm(out["tvec"] - t_true)
         assert err1 < err0 * 0.5, f"{err0} -> {err1}"
+
+
+class TestBatchLocalize:
+    def test_pipelined_matches_serial(self):
+        """localize_queries with prefetch on/off gives identical poses."""
+        from pixsfm_tpu.localize import localize_queries
+
+        rec, fset = featuremetric_scene(seed=21, n_images=5, n_points=50)
+
+        class _Mgr:
+            num_levels = 1
+
+            def fset(self, i):
+                return fset
+
+        query = rec.images[5]
+        q_cam = rec.cameras[query.camera_id]
+        q_kps = query.xys.copy()
+
+        rec2 = rec.copy()
+        for p in rec2.points3D.values():
+            p.track = [(i, j) for (i, j) in p.track if i != 5]
+        del rec2.images[5]
+        rec2.points3D = {pid: p for pid, p in rec2.points3D.items()
+                         if p.track_length >= 2}
+
+        # retrieval pairs + matches: query keypoint -> ref keypoint of the
+        # same 3D point (what hloc matching would produce)
+        pairs, matches = [], {}
+        for iid, im in rec2.images.items():
+            m = []
+            for r_idx, pid in enumerate(im.point3D_ids):
+                if pid < 0 or pid not in rec2.points3D:
+                    continue
+                q_idx = next((i for i, qpid in enumerate(query.point3D_ids)
+                              if qpid == pid), None)
+                if q_idx is not None:
+                    m.append((q_idx, r_idx))
+            if m:
+                pairs.append((query.name, im.name))
+                matches[(query.name, im.name)] = np.asarray(m, np.int64)
+
+        class _FakeExtractor:
+            """Returns the scene's featuremap regardless of image path (the
+            pipelined path must produce the same fmaps as in-localize
+            extraction)."""
+            conf = type("C", (), {"get": staticmethod(
+                lambda k, d=None: d)})()
+
+            def __call__(self, image_path, keypoints=None, keypoint_ids=None,
+                         overwrite_sparse=None):
+                return [fset.get_map(query.name)]
+
+        conf = {
+            "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+            "target_reference": "robust_mean",
+            "references": {"loss": {"name": "cauchy", "params": [0.25]},
+                           "iters": 10, "keep_observations": True},
+            "QKA": {"apply": True,
+                    "optimizer": {"solver": {"max_num_iterations": 10}}},
+            "QBA": {"apply": True,
+                    "optimizer": {"solver": {"max_num_iterations": 10}}},
+        }
+        results = []
+        for depth in (0, 2):
+            loc = QueryLocalizer(rec2, conf=conf, dense_features=_Mgr())
+            loc.extractor = _FakeExtractor()
+            out = localize_queries(
+                loc, [(query.name, q_cam)], {query.name: q_kps.copy()},
+                pairs, matches, image_dir="/nonexistent",
+                prefetch_depth=depth)
+            assert out[query.name]["success"]
+            results.append(out[query.name])
+        np.testing.assert_allclose(results[0]["qvec"], results[1]["qvec"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(results[0]["tvec"], results[1]["tvec"],
+                                   atol=1e-6)
+        assert (results[0]["num_inliers"] == results[1]["num_inliers"])
+        np.testing.assert_allclose(results[0]["tvec"], query.tvec, atol=0.08)
