@@ -552,14 +552,25 @@ def bench_localize(n_images=5, n_points=60, C=8, ps=16, reps=8):
                   "solver": {"max_num_iterations": 20}}}},
         dense_features=_Mgr())
 
-    def one(seed):
+    def noisy_kps(seed):
         noisy = query.xys.copy()
         noisy[p2D_idxs] += np.random.default_rng(seed).uniform(
             -0.8, 0.8, (len(p2D_idxs), 2))
-        out = loc.localize(noisy, p2D_idxs, p3D_ids, q_cam,
+        return noisy
+
+    def one(seed):
+        out = loc.localize(noisy_kps(seed), p2D_idxs, p3D_ids, q_cam,
                            query_fmaps=[q_fmap])
         assert out["success"]
         return out
+
+    def batch(seed0, B):
+        outs = loc.localize_batch([
+            dict(keypoints=noisy_kps(seed0 + i), pnp_point2D_idxs=p2D_idxs,
+                 pnp_points3D_id=p3D_ids, query_camera=q_cam,
+                 query_fmaps=[q_fmap]) for i in range(B)])
+        assert all(o["success"] for o in outs)
+        return outs
 
     one(0)  # compile QKA/QBA programs
     best = None
@@ -569,7 +580,16 @@ def bench_localize(n_images=5, n_points=60, C=8, ps=16, reps=8):
             one(100 + r * reps + i)
         dt = (time.time() - t0) / reps
         best = dt if best is None else min(best, dt)
-    return 1.0 / max(best, 1e-9)
+
+    B = 8
+    batch(1000, B)  # compile the batched programs
+    best_b = None
+    for r in range(3):
+        t0 = time.time()
+        batch(2000 + r * B, B)
+        dt = (time.time() - t0) / B
+        best_b = dt if best_b is None else min(best_b, dt)
+    return 1.0 / max(best, 1e-9), 1.0 / max(best_b, 1e-9)
 
 
 # ---------------------------------------------------------------------------
@@ -607,14 +627,22 @@ def main():
                     ("fm_ba_lm_ms_per_iter_20k_obs_c128",
                      bench_ba_featuremetric),
                     ("ba_lm_ms_per_iter_2m_obs_500k_pts", bench_ba_large),
-                    ("extract_imgs_per_s", bench_extract),
-                    ("qloc_queries_per_s", bench_localize)):
+                    ("extract_imgs_per_s", bench_extract)):
         try:
             out[key] = round(fn(), 2)
         except Exception as e:  # never lose the headline metric
             print(f"[bench] {key} failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
             out[key] = None
+    try:
+        single, batched = bench_localize()
+        out["qloc_queries_per_s"] = round(single, 2)
+        out["qloc_batch8_queries_per_s"] = round(batched, 2)
+    except Exception as e:
+        print(f"[bench] qloc failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        out["qloc_queries_per_s"] = None
+        out["qloc_batch8_queries_per_s"] = None
 
     print(json.dumps(out))
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import time
 from collections import defaultdict
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -141,6 +141,12 @@ def find_unique_min_reproj_inliers(points3D_id, qvec, tvec, camera,
 # query featuremap packing
 # ---------------------------------------------------------------------------
 
+def _pow2(n: int, minimum: int = 4) -> int:
+    """Power-of-two bucket: repeated queries of similar size reuse the
+    compiled program (recompiles are expensive, especially remotely)."""
+    return 1 << max(int(np.ceil(np.log2(max(n, 1)))), int(np.log2(minimum)))
+
+
 def _pack_query_fmap(fmap: FeatureMap):
     """FeatureMap -> (patches [N,ps,ps,C], meta arrays, {p2D_idx -> row}).
 
@@ -232,17 +238,16 @@ class QueryKeypointAdjuster:
     def __init__(self, conf=None):
         self.conf = merge(self.default_conf, conf or {})
 
-    def refine(self, keypoints: np.ndarray, query_fmap: FeatureMap,
-               references: List, point2D_idxs: Sequence[int]) -> Dict:
-        """Refine ``keypoints`` (modified in place) of the correspondences."""
-        from ..keypoint_adjustment.solver import solve_target_problems
+    def _build_problems(self, keypoints: np.ndarray, query_fmap: FeatureMap,
+                        references: List, point2D_idxs: Sequence[int],
+                        interp: InterpolationConfig, bound: float):
+        """Pack one query's correspondences as fixed-target LM problems.
 
-        interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
-        opt = self.conf.optimizer
-        loss = make_loss(opt.get("loss"))
-        lm_opts = LMOptions.from_solver_conf(opt.get("solver"))
-        bound = float(opt.get("bound", 4.0))
-
+        Returns (kp0, rows, corner, scale, up, targets, tw, lo, hi, patches,
+        writeback) where ``writeback(kp_new, keypoints)`` scatters refined
+        keypoints back (handles the stacked-correspondence dedup). ``rows``
+        index ``patches`` — callers that batch several queries concatenate
+        the patch stacks and offset the rows (localize_batch)."""
         thresh = float(self.conf.get("feature_inlier_thresh", -1) or -1)
         feat_inliers = find_feature_inliers(
             keypoints, query_fmap, references, interp, thresh=thresh,
@@ -296,16 +301,92 @@ class QueryKeypointAdjuster:
             lo = np.maximum(lo, kp0 - bound / scale)
             hi = np.minimum(hi, kp0 + bound / scale)
 
+        if uniq is not None:
+            def writeback(kp_new, kps):
+                for j, u in enumerate(uniq):
+                    for i in kp_map[u]:
+                        kps[i] = kp_new[j]
+        else:
+            def writeback(kp_new, kps):
+                kps[:] = kp_new
+
+        return (kp0, rows, corner, scale, up, targets, tw, lo, hi, patches,
+                writeback)
+
+    def refine(self, keypoints: np.ndarray, query_fmap: FeatureMap,
+               references: List, point2D_idxs: Sequence[int]) -> Dict:
+        """Refine ``keypoints`` (modified in place) of the correspondences."""
+        from ..keypoint_adjustment.solver import solve_target_problems
+
+        interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
+        opt = self.conf.optimizer
+        loss = make_loss(opt.get("loss"))
+        lm_opts = LMOptions.from_solver_conf(opt.get("solver"))
+        bound = float(opt.get("bound", 4.0))
+
+        (kp0, rows, corner, scale, up, targets, tw, lo, hi, patches,
+         writeback) = self._build_problems(keypoints, query_fmap, references,
+                                           point2D_idxs, interp, bound)
         kp_new, summary = solve_target_problems(
             kp0, rows, corner, scale, up, targets, tw, lo, hi, patches,
             interp, loss, lm_opts)
+        writeback(kp_new, keypoints)
+        return summary
 
-        if uniq is not None:
-            for j, u in enumerate(uniq):
-                for i in kp_map[u]:
-                    keypoints[i] = kp_new[j]
-        else:
-            keypoints[:] = kp_new
+    def refine_batch(self, items: List[Tuple[np.ndarray, FeatureMap, List,
+                                             Sequence[int]]]) -> Dict:
+        """Refine several queries' keypoints in ONE batched program.
+
+        ``items``: (keypoints, query_fmap, references, point2D_idxs) per
+        query; keypoints arrays are modified in place. The per-query
+        fixed-target problems concatenate along the problem axis (the
+        batched solver is shape-oblivious); patch stacks concatenate with
+        row offsets. One device dispatch serves the whole batch — the
+        serving-path analogue of the KA chunk batching."""
+        from ..keypoint_adjustment.solver import solve_target_problems
+
+        interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
+        opt = self.conf.optimizer
+        loss = make_loss(opt.get("loss"))
+        lm_opts = LMOptions.from_solver_conf(opt.get("solver"))
+        bound = float(opt.get("bound", 4.0))
+
+        built = [self._build_problems(kps, fmap, refs, p2D, interp, bound)
+                 for (kps, fmap, refs, p2D) in items]
+        shapes = {b[9].shape[1:] for b in built}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"refine_batch needs uniform patch shapes, got {shapes}")
+        T = max(b[5].shape[1] for b in built)
+
+        def padT(a, t_axis_len):
+            if t_axis_len == T:
+                return a
+            pad = [(0, 0)] * a.ndim
+            pad[1] = (0, T - t_axis_len)
+            return np.pad(a, pad)
+
+        rows_all, patch_parts, row_off = [], [], 0
+        for b in built:
+            rows_all.append(np.asarray(b[1]) + row_off)
+            patch_parts.append(np.asarray(b[9]))
+            row_off += b[9].shape[0]
+        kp_new, summary = solve_target_problems(
+            np.concatenate([b[0] for b in built]),
+            np.concatenate(rows_all),
+            np.concatenate([b[2] for b in built]),
+            np.concatenate([b[3] for b in built]),
+            np.concatenate([b[4] for b in built]),
+            np.concatenate([padT(b[5], b[5].shape[1]) for b in built]),
+            np.concatenate([padT(b[6], b[6].shape[1]) for b in built]),
+            np.concatenate([b[7] for b in built]),
+            np.concatenate([b[8] for b in built]),
+            np.concatenate(patch_parts), interp, loss, lm_opts)
+        start = 0
+        for b, (kps, *_rest) in zip(built, items):
+            n = b[0].shape[0]
+            b[10](kp_new[start:start + n], kps)
+            start += n
         return summary
 
     def refine_multilevel(self, keypoints, query_fmaps, query_references,
@@ -329,22 +410,17 @@ class QueryKeypointAdjuster:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=64)
-def _compiled_qba(model: str, interp_key, loss_key, max_iters: int,
-                  n_cam_params: int):
-    """Jitted pose(+intrinsics) damped Newton, cached per static configuration;
-    per-query arrays are traced arguments (padded to shape buckets). The
-    intrinsics subset is selected by a traced ``cam_mask`` so one compile serves
-    every refine_focal_length/principal_point/extra_params combination
-    (reference: single_query_bundle_optimizer ParameterizeQuery,
-    query_bundle_optimizer.h:114-120)."""
+def _qba_inner(model: str, interp_key, loss_key, max_iters: int,
+               n_cam_params: int):
+    """Un-jitted single-query pose(+intrinsics) damped Newton body — jitted
+    directly for one query (`_compiled_qba`) or vmapped over a query axis
+    with the packed patches shared (`_compiled_qba_batch`)."""
     interp = InterpolationConfig(mode=interp_key[0], l2_normalize=interp_key[1],
                                  ncc_normalize=interp_key[2])
     from ..base.losses import RobustLoss
     loss = RobustLoss(loss_key[0], list(loss_key[1]))
     NP = 6 + n_cam_params
 
-    @jax.jit
     def run(q0, t0, cam_params, cam_mask, patches, rows, corners, scales,
             ups, X, targets, tw):
         def residual_cost(d, q0_, t0_, c0_):
@@ -400,6 +476,32 @@ def _compiled_qba(model: str, interp_key, loss_key, max_iters: int,
         return q, t, c, cost0, cost
 
     return run
+
+
+@lru_cache(maxsize=64)
+def _compiled_qba(model: str, interp_key, loss_key, max_iters: int,
+                  n_cam_params: int):
+    """Jitted pose(+intrinsics) damped Newton, cached per static configuration;
+    per-query arrays are traced arguments (padded to shape buckets). The
+    intrinsics subset is selected by a traced ``cam_mask`` so one compile serves
+    every refine_focal_length/principal_point/extra_params combination
+    (reference: single_query_bundle_optimizer ParameterizeQuery,
+    query_bundle_optimizer.h:114-120)."""
+    return jax.jit(_qba_inner(model, interp_key, loss_key, max_iters,
+                              n_cam_params))
+
+
+@lru_cache(maxsize=64)
+def _compiled_qba_batch(model: str, interp_key, loss_key, max_iters: int,
+                        n_cam_params: int):
+    """Batched QBA: vmap the single-query solve over a leading query axis.
+    The packed patch stack is SHARED (queries' rows index into the common
+    concatenated array) and cam_mask is per-batch; everything else — pose,
+    intrinsics, correspondences, targets — is per-query. One dispatch
+    refines a whole batch of query poses (serving path)."""
+    inner = _qba_inner(model, interp_key, loss_key, max_iters, n_cam_params)
+    return jax.jit(jax.vmap(
+        inner, in_axes=(0, 0, 0, None, None, 0, 0, 0, 0, 0, 0, 0)))
 
 
 @lru_cache(maxsize=64)
@@ -516,6 +618,65 @@ class QueryBundleAdjuster:
                                            point2D_idxs, interp, loss,
                                            max_iters)
 
+        arrays = self._build_arrays(points3D, query_fmap, references, sel,
+                                    point2D_idxs)
+        cam_mask = self._cam_mask(camera)
+
+        # pad counts to power-of-two buckets so repeated queries reuse the
+        # compiled program
+        (patches, rows, corner, scale, up, X, targets, tw) = arrays
+        n_pad = _pow2(len(rows))
+        np_pad = _pow2(patches.shape[0])
+
+        def padn(a, fill=0):
+            pad_n = n_pad - len(rows)
+            return np.concatenate(
+                [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
+                if pad_n else a
+
+        patches_p = np.concatenate(
+            [patches, np.zeros((np_pad - patches.shape[0],)
+                               + patches.shape[1:], patches.dtype)]) \
+            if np_pad > patches.shape[0] else patches
+
+        run = _compiled_qba(camera.model,
+                            (interp.mode, interp.l2_normalize,
+                             interp.ncc_normalize),
+                            (loss.name, tuple(loss.params)), max_iters,
+                            len(camera.params))
+        q, t, c, c0, c1 = run(
+            jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
+            jnp.asarray(camera.params, jnp.float32), jnp.asarray(cam_mask),
+            jnp.asarray(patches_p),
+            jnp.asarray(padn(rows)), jnp.asarray(padn(corner)),
+            jnp.asarray(padn(scale, 1)), jnp.asarray(padn(up, 1)),
+            jnp.asarray(padn(X)), jnp.asarray(padn(targets)),
+            jnp.asarray(padn(tw)))
+        if cam_mask.any():
+            camera.params = np.asarray(c, np.float64)
+        return dict(qvec=np.asarray(q, np.float64),
+                    tvec=np.asarray(t, np.float64),
+                    camera_params=np.asarray(c, np.float64),
+                    initial_cost=float(c0), final_cost=float(c1))
+
+    def _cam_mask(self, camera: Camera) -> np.ndarray:
+        """Intrinsics refinement subset (reference ParameterizeQuery)."""
+        from ..base.cameras import CAMERA_MODELS
+        opt = self.conf.optimizer
+        spec = CAMERA_MODELS[camera.model]
+        cam_mask = np.zeros(spec.num_params, np.float32)
+        if opt.get("refine_focal_length"):
+            cam_mask[list(spec.focal_idxs)] = 1.0
+        if opt.get("refine_principal_point"):
+            cam_mask[list(spec.pp_idxs)] = 1.0
+        if opt.get("refine_extra_params") and spec.extra_idxs:
+            cam_mask[list(spec.extra_idxs)] = 1.0
+        return cam_mask
+
+    def _build_arrays(self, points3D, query_fmap, references, sel,
+                      point2D_idxs):
+        """Unpadded per-query QBA arrays (patches, rows, corner, scale, up,
+        X, targets [n,T,C], tw [n,T])."""
         patches, corners, scales, ups, row_of = _pack_query_fmap(query_fmap)
         rows = _rows_for(query_fmap, row_of,
                          [point2D_idxs[i] for i in sel]
@@ -531,57 +692,119 @@ class QueryBundleAdjuster:
             r2 = r.reshape(-1, C)
             targets[i, :len(r2)] = r2
             tw[i, :len(r2)] = 1.0
+        return (patches, rows, corners[rows], scales[rows], ups[rows], X,
+                targets, tw)
 
-        # pad counts to power-of-two buckets so repeated queries reuse the
-        # compiled program
-        def bucket(n):
-            return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 2)
+    def refine_batch(self, items: List[Dict]) -> List[Dict]:
+        """Refine several query poses in ONE batched program (vmap over the
+        query axis with a shared concatenated patch stack).
 
-        n = len(sel)
-        n_pad = bucket(n)
-        np_pad = bucket(patches.shape[0])
-        pad_n = n_pad - n
+        ``items``: per query a dict with keys qvec, tvec, camera, points3D,
+        query_fmap, references, inliers (optional), point2D_idxs (optional).
+        All queries must share the camera MODEL (group by model upstream);
+        intrinsics values stay per-query. Returns one result dict per query
+        (same fields as :meth:`refine`); per-query skip conditions fall back
+        to the single-query path."""
+        interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
+        opt = self.conf.optimizer
+        loss = make_loss(opt.get("loss"))
+        max_iters = int(opt.solver.get("max_num_iterations", 100))
 
-        def padn(a, fill=0):
-            return np.concatenate(
-                [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
-                if pad_n else a
+        from ..bundle_adjustment.references import Reference as _Ref
+        prepared, results = [], [None] * len(items)
+        for qi, it in enumerate(items):
+            n = len(it["points3D"])
+            inl = it.get("inliers")
+            sel = [i for i in range(n) if inl is None or inl[i]]
+            if not sel:
+                results[qi] = dict(qvec=it["qvec"], tvec=it["tvec"],
+                                   skipped=True)
+                continue
+            if isinstance(it["references"][sel[0]], _Ref):
+                # patch-warp "full" mode: serial fallback
+                results[qi] = self.refine(
+                    it["qvec"], it["tvec"], it["camera"], it["points3D"],
+                    it["query_fmap"], it["references"], inliers=inl,
+                    point2D_idxs=it.get("point2D_idxs"))
+                continue
+            arrays = self._build_arrays(it["points3D"], it["query_fmap"],
+                                        it["references"], sel,
+                                        it.get("point2D_idxs"))
+            prepared.append((qi, it, arrays))
 
-        patches_p = np.concatenate(
-            [patches, np.zeros((np_pad - patches.shape[0],)
-                               + patches.shape[1:], patches.dtype)]) \
-            if np_pad > patches.shape[0] else patches
+        if not prepared:
+            return results
 
-        # intrinsics refinement subset (reference ParameterizeQuery)
-        from ..base.cameras import CAMERA_MODELS
-        spec = CAMERA_MODELS[camera.model]
-        cam_mask = np.zeros(spec.num_params, np.float32)
-        if opt.get("refine_focal_length"):
-            cam_mask[list(spec.focal_idxs)] = 1.0
-        if opt.get("refine_principal_point"):
-            cam_mask[list(spec.pp_idxs)] = 1.0
-        if opt.get("refine_extra_params") and spec.extra_idxs:
-            cam_mask[list(spec.extra_idxs)] = 1.0
+        models = {it["camera"].model for _, it, _ in prepared}
+        if len(models) > 1:
+            raise ValueError(f"refine_batch needs one camera model, "
+                             f"got {models}")
+        cam_mask = self._cam_mask(prepared[0][1]["camera"])
+        k = len(prepared[0][1]["camera"].params)
+        Q = len(prepared)
+        N = _pow2(max(len(a[1]) for _, _, a in prepared))
+        T = max(a[6].shape[1] for _, _, a in prepared)
+        C = prepared[0][2][6].shape[2]
 
-        run = _compiled_qba(camera.model,
-                            (interp.mode, interp.l2_normalize,
-                             interp.ncc_normalize),
-                            (loss.name, tuple(loss.params)), max_iters,
-                            spec.num_params)
+        patch_parts, row_off = [], []
+        off = 0
+        for _, _, a in prepared:
+            row_off.append(off)
+            patch_parts.append(np.asarray(a[0]))
+            off += a[0].shape[0]
+        patches_all = np.concatenate(patch_parts)
+        np_pad = _pow2(patches_all.shape[0])
+        if np_pad > patches_all.shape[0]:
+            patches_all = np.concatenate(
+                [patches_all, np.zeros((np_pad - patches_all.shape[0],)
+                                       + patches_all.shape[1:],
+                                       patches_all.dtype)])
+
+        rows_b = np.zeros((Q, N), np.int64)
+        corner_b = np.zeros((Q, N, 2), np.float32)
+        scale_b = np.ones((Q, N, 2), np.float32)
+        up_b = np.ones((Q, N), np.float32)
+        X_b = np.zeros((Q, N, 3), np.float32)
+        tgt_b = np.zeros((Q, N, T, C), np.float32)
+        tw_b = np.zeros((Q, N, T), np.float32)
+        q0 = np.zeros((Q, 4), np.float32)
+        t0 = np.zeros((Q, 3), np.float32)
+        cams = np.zeros((Q, k), np.float32)
+        for j, (qi, it, a) in enumerate(prepared):
+            (patches, rows, corner, scale, up, X, targets, tw) = a
+            n = len(rows)
+            rows_b[j, :n] = rows + row_off[j]
+            corner_b[j, :n] = corner
+            scale_b[j, :n] = scale
+            up_b[j, :n] = up
+            X_b[j, :n] = X
+            tgt_b[j, :n, :targets.shape[1]] = targets
+            tw_b[j, :n, :tw.shape[1]] = tw
+            q0[j] = np.asarray(it["qvec"], np.float32)
+            t0[j] = np.asarray(it["tvec"], np.float32)
+            cams[j] = np.asarray(it["camera"].params, np.float32)
+
+        run = _compiled_qba_batch(
+            prepared[0][1]["camera"].model,
+            (interp.mode, interp.l2_normalize, interp.ncc_normalize),
+            (loss.name, tuple(loss.params)), max_iters, k)
         q, t, c, c0, c1 = run(
-            jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
-            jnp.asarray(camera.params, jnp.float32), jnp.asarray(cam_mask),
-            jnp.asarray(patches_p),
-            jnp.asarray(padn(rows)), jnp.asarray(padn(corners[rows])),
-            jnp.asarray(padn(scales[rows], 1)), jnp.asarray(padn(ups[rows], 1)),
-            jnp.asarray(padn(X)), jnp.asarray(padn(targets)),
-            jnp.asarray(padn(tw)))
-        if cam_mask.any():
-            camera.params = np.asarray(c, np.float64)
-        return dict(qvec=np.asarray(q, np.float64),
-                    tvec=np.asarray(t, np.float64),
-                    camera_params=np.asarray(c, np.float64),
-                    initial_cost=float(c0), final_cost=float(c1))
+            jnp.asarray(q0), jnp.asarray(t0), jnp.asarray(cams),
+            jnp.asarray(cam_mask), jnp.asarray(patches_all),
+            jnp.asarray(rows_b), jnp.asarray(corner_b), jnp.asarray(scale_b),
+            jnp.asarray(up_b), jnp.asarray(X_b), jnp.asarray(tgt_b),
+            jnp.asarray(tw_b))
+        q, t, c = np.asarray(q), np.asarray(t), np.asarray(c)
+        c0, c1 = np.asarray(c0), np.asarray(c1)
+        for j, (qi, it, _a) in enumerate(prepared):
+            if cam_mask.any():
+                it["camera"].params = np.asarray(c[j], np.float64)
+            results[qi] = dict(qvec=np.asarray(q[j], np.float64),
+                               tvec=np.asarray(t[j], np.float64),
+                               camera_params=np.asarray(c[j], np.float64),
+                               initial_cost=float(c0[j]),
+                               final_cost=float(c1[j]))
+        return results
 
     def _refine_patch_warp(self, qvec, tvec, camera: Camera, points3D,
                            query_fmap, references, sel, point2D_idxs,
@@ -861,3 +1084,120 @@ class QueryLocalizer:
         pose_dict["inliers"] = [bool(e < max_error) for e in errors]
         pose_dict["num_inliers"] = int(np.sum(pose_dict["inliers"]))
         return pose_dict
+
+    def localize_batch(self, queries: List[Dict]) -> List[Dict]:
+        """Localize several queries with BATCHED device programs.
+
+        ``queries``: per query a dict with keys ``keypoints``,
+        ``pnp_point2D_idxs``, ``pnp_points3D_id``, ``query_camera``, and
+        ``image_path`` or ``query_fmaps``. Same per-query semantics and
+        results as :meth:`localize`, but QKA solves all queries'
+        fixed-target problems in one program per level and QBA vmaps the
+        pose refinement over the query axis (grouped by camera model) —
+        two device dispatches per level for the whole batch instead of two
+        per query. This is the TPU-native serving path: dispatch overhead
+        amortizes over the batch exactly like the KA problem batching
+        (SURVEY.md §2.9)."""
+        from .pnp import absolute_pose_estimation
+
+        require_feats = self.conf.QKA.apply or self.conf.QBA.apply
+        results: List[Optional[Dict]] = [None] * len(queries)
+        prep: List[Dict] = []
+        for qi, q in enumerate(queries):
+            p2D = list(q["pnp_point2D_idxs"])
+            p3D = list(q["pnp_points3D_id"])
+            if len(p2D) == 0:
+                results[qi] = {"success": False}
+                continue
+            assert len(p2D) == len(p3D)
+            kps = np.array(q["keypoints"], np.float64)
+            if require_feats and self.references is not None:
+                keep = [i for i, pid in enumerate(p3D)
+                        if all(pid in refs for refs in self.references)]
+                if len(keep) < len(p3D):
+                    p2D = [p2D[i] for i in keep]
+                    p3D = [p3D[i] for i in keep]
+                    if not p2D:
+                        results[qi] = {"success": False}
+                        continue
+            fmaps = q.get("query_fmaps")
+            if fmaps is None and require_feats:
+                fmaps = self.extract_query_fmaps(kps, p2D,
+                                                 q.get("image_path"))
+            points3D = [self.reconstruction.points3D[p].xyz for p in p3D]
+            points2D = kps[np.asarray(p2D, np.int64)]
+            refs = (self.get_query_references(p3D, fmaps, points2D, p2D)
+                    if require_feats else None)
+            prep.append(dict(qi=qi, camera=q["query_camera"], p2D=p2D,
+                             p3D=p3D, fmaps=fmaps, points3D=points3D,
+                             points2D=points2D, refs=refs))
+
+        # ---- QKA: one batched program per level --------------------------
+        if self.conf.QKA.apply and prep:
+            levels = self.qka.conf.get("level_indices")
+            if levels in (None, "all"):
+                levels = list(reversed(range(len(prep[0]["fmaps"]))))
+            for level in levels:
+                self.qka.refine_batch(
+                    [(p["points2D"], p["fmaps"][level], p["refs"][level],
+                      p["p2D"]) for p in prep])
+
+        # ---- PnP + unique inliers per query (host) -----------------------
+        max_error = float(self.conf.PnP.estimation.ransac.max_error)
+        survivors = []
+        for p in prep:
+            pose = absolute_pose_estimation(
+                p["points2D"], np.asarray(p["points3D"]), p["camera"],
+                max_error_px=max_error)
+            if not pose["success"]:
+                results[p["qi"]] = pose
+                continue
+            inliers = pose["inliers"]
+            mode = self.conf.get("unique_inliers")
+            if mode == "random":
+                inliers = find_unique_inliers(p["p3D"], pre_inliers=inliers)
+            elif mode == "min_error":
+                inliers = find_unique_min_reproj_inliers(
+                    p["p3D"], pose["qvec"], pose["tvec"], p["camera"],
+                    p["points2D"], p["points3D"], pre_inliers=inliers,
+                    point2D_idxs=p["p2D"])
+            p["pose"] = pose
+            p["inliers"] = inliers
+            survivors.append(p)
+
+        # ---- QBA: vmapped over queries, grouped by camera model ----------
+        if self.conf.QBA.apply and survivors:
+            levels = self.qba.conf.get("level_indices")
+            if levels in (None, "all"):
+                levels = list(reversed(range(len(survivors[0]["fmaps"]))))
+            groups: Dict[str, List[Dict]] = {}
+            for p in survivors:
+                groups.setdefault(p["camera"].model, []).append(p)
+            for level in levels:
+                for group in groups.values():
+                    outs = self.qba.refine_batch([
+                        dict(qvec=p["pose"]["qvec"], tvec=p["pose"]["tvec"],
+                             camera=p["camera"], points3D=p["points3D"],
+                             query_fmap=p["fmaps"][level],
+                             references=p["refs"][level],
+                             inliers=p["inliers"], point2D_idxs=p["p2D"])
+                        for p in group])
+                    for p, out in zip(group, outs):
+                        if out.get("skipped"):
+                            continue
+                        p["pose"]["qvec"] = out["qvec"]
+                        p["pose"]["tvec"] = out["tvec"]
+                        if "initial_cost" in out:
+                            p["pose"]["QBA"] = {
+                                "initial_cost": out["initial_cost"],
+                                "final_cost": out["final_cost"]}
+
+        for p in survivors:
+            pose = p["pose"]
+            errors = compute_reprojection_errors(
+                p["points2D"], p["points3D"], pose["qvec"], pose["tvec"],
+                p["camera"])
+            pose["inliers"] = [bool(e < max_error) for e in errors]
+            pose["num_inliers"] = int(np.sum(pose["inliers"]))
+            results[p["qi"]] = pose
+        return results

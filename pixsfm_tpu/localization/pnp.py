@@ -227,6 +227,108 @@ def _reproj_errors(camera: Camera, qvec, tvec, X, xy):
     return err
 
 
+def _rotmat_to_quat_np(R):
+    """Shepperd's method in numpy ([w,x,y,z]) — the RANSAC improvement path
+    must not round-trip to the device per candidate."""
+    R = np.asarray(R, np.float64)
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    if tr > 0:
+        s = np.sqrt(max(tr + 1.0, 1e-12)) * 2
+        q = [0.25 * s, (R[2, 1] - R[1, 2]) / s,
+             (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s]
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(max(1.0 + R[0, 0] - R[1, 1] - R[2, 2], 1e-12)) * 2
+        q = [(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+             (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s]
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(max(1.0 + R[1, 1] - R[0, 0] - R[2, 2], 1e-12)) * 2
+        q = [(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+             0.25 * s, (R[1, 2] + R[2, 1]) / s]
+    else:
+        s = np.sqrt(max(1.0 + R[2, 2] - R[0, 0] - R[1, 1], 1e-12)) * 2
+        q = [(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+             (R[1, 2] + R[2, 1]) / s, 0.25 * s]
+    q = np.asarray(q, np.float64)
+    return q / np.linalg.norm(q)
+
+
+def _exp_quat_np(phi):
+    """so(3) tangent -> unit quaternion ([w,x,y,z]); matches
+    base.geometry.exp_quat."""
+    theta = np.linalg.norm(phi)
+    if theta < 1e-6:
+        k = 0.5 - theta * theta / 48.0
+        w = 1.0 - theta * theta / 8.0
+    else:
+        k = np.sin(0.5 * theta) / theta
+        w = np.cos(0.5 * theta)
+    q = np.concatenate([[w], k * np.asarray(phi, np.float64)])
+    return q / np.linalg.norm(q)
+
+
+def _quat_mul_np(q1, q2):
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _pose_refinement_np(camera: Camera, qvec, tvec, X, xy,
+                        iters: int = 30) -> Dict:
+    """Host-side pose-only damped Gauss-Newton (central-difference Jacobian
+    over the 6-DoF tangent). The LO-RANSAC inner loop calls refinement up to
+    8 times per query on tiny point sets; a jitted device solve there costs
+    one dispatch round-trip per call and dominated per-query serving latency
+    on remote accelerators. f64 central differences at step 1e-6 match the
+    analytic Jacobian to ~1e-9 relative — far below the LM tolerance."""
+    q = np.asarray(qvec, np.float64)
+    q = q / np.linalg.norm(q)
+    t = np.asarray(tvec, np.float64).copy()
+    X = np.asarray(X, np.float64)
+    xy = np.asarray(xy, np.float64)
+
+    def step(q, t, d):
+        return (_quat_mul_np(_exp_quat_np(d[:3]), q), t + d[3:6])
+
+    def resid(q, t):
+        proj, _ = project_np(camera, q, t, X)
+        return (proj - xy).ravel()
+
+    r = resid(q, t)
+    cost = 0.5 * float(r @ r)
+    lam = 1e-4
+    eps = 1e-6
+    for _ in range(iters):
+        J = np.empty((r.size, 6))
+        for k in range(6):
+            d = np.zeros(6)
+            d[k] = eps
+            J[:, k] = (resid(*step(q, t, d)) - resid(*step(q, t, -d))) \
+                / (2 * eps)
+        g = J.T @ r
+        H = J.T @ J
+        D = np.clip(np.diag(H), 1e-8, 1e32)
+        try:
+            d = -np.linalg.solve(H + lam * np.diag(D), g)
+        except np.linalg.LinAlgError:
+            break
+        qn, tn = step(q, t, d)
+        rn = resid(qn, tn)
+        cn = 0.5 * float(rn @ rn)
+        if cn < cost:
+            q, t, r, cost = qn, tn, rn, cn
+            lam = max(lam / 3.0, 1e-12)
+            if np.linalg.norm(d) < 1e-12:
+                break
+        else:
+            lam = min(lam * 4.0, 1e16)
+    return {"qvec": q, "tvec": t}
+
+
 from functools import lru_cache
 
 
@@ -337,7 +439,7 @@ def absolute_pose_estimation(points2D: np.ndarray, points3D: np.ndarray,
                 inl = err < max_error_px
                 ni = int(inl.sum())
                 if ni > best["num_inliers"]:
-                    qvec = np.asarray(rotmat_to_quat(jnp.asarray(Rc[bi])))
+                    qvec = _rotmat_to_quat_np(Rc[bi])
                     best = dict(num_inliers=ni, inliers=inl, qvec=qvec,
                                 tvec=tc[bi])
                     ratio = max(ni / n, min_inlier_ratio)
@@ -356,7 +458,7 @@ def absolute_pose_estimation(points2D: np.ndarray, points3D: np.ndarray,
     qv, tv = best["qvec"], best["tvec"]
     best_lo = (int(inl.sum()), qv, tv, inl)
     for _ in range(8):
-        ref = pose_refinement(camera, qv, tv, X[inl], xy[inl])
+        ref = _pose_refinement_np(camera, qv, tv, X[inl], xy[inl])
         qv, tv = ref["qvec"], ref["tvec"]
         err = _reproj_errors(camera, qv, tv, X, xy)
         new_inl = err < max_error_px

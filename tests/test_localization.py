@@ -395,3 +395,71 @@ class TestBatchLocalize:
                                    atol=1e-6)
         assert (results[0]["num_inliers"] == results[1]["num_inliers"])
         np.testing.assert_allclose(results[0]["tvec"], query.tvec, atol=0.08)
+
+    def test_localize_batch_matches_serial(self):
+        """localize_batch (one batched QKA + one vmapped QBA dispatch per
+        level) == per-query localize()."""
+        rec, fset = featuremetric_scene(seed=31, n_images=6, n_points=50)
+
+        class _Mgr:
+            num_levels = 1
+
+            def fset(self, i):
+                return fset
+
+        # hold out two images as queries
+        qids = [5, 6]
+        rec2 = rec.copy()
+        for p in rec2.points3D.values():
+            p.track = [(i, j) for (i, j) in p.track if i not in qids]
+        for qid in qids:
+            del rec2.images[qid]
+        rec2.points3D = {pid: p for pid, p in rec2.points3D.items()
+                         if p.track_length >= 2}
+
+        conf = {
+            "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+            "target_reference": "robust_mean",
+            "references": {"loss": {"name": "cauchy", "params": [0.25]},
+                           "iters": 10, "keep_observations": True},
+            "QKA": {"apply": True,
+                    "optimizer": {"solver": {"max_num_iterations": 10}}},
+            "QBA": {"apply": True,
+                    "optimizer": {"solver": {"max_num_iterations": 10}}},
+        }
+        rng = np.random.default_rng(31)
+        queries = []
+        for qid in qids:
+            query = rec.images[qid]
+            p2D = [i for i, pid in enumerate(query.point3D_ids)
+                   if pid >= 0 and pid in rec2.points3D]
+            p3D = [int(query.point3D_ids[i]) for i in p2D]
+            noisy = query.xys.copy()
+            noisy[p2D] += rng.uniform(-0.8, 0.8, (len(p2D), 2))
+            queries.append(dict(
+                keypoints=noisy, pnp_point2D_idxs=p2D, pnp_points3D_id=p3D,
+                query_camera=rec.cameras[query.camera_id],
+                query_fmaps=[fset.get_map(query.name)], gt=query))
+
+        loc_a = QueryLocalizer(rec2, conf=conf, dense_features=_Mgr())
+        serial = [loc_a.localize(q["keypoints"].copy(),
+                                 q["pnp_point2D_idxs"], q["pnp_points3D_id"],
+                                 q["query_camera"],
+                                 query_fmaps=q["query_fmaps"])
+                  for q in queries]
+        loc_b = QueryLocalizer(rec2, conf=conf, dense_features=_Mgr())
+        batched = loc_b.localize_batch([
+            dict(keypoints=q["keypoints"].copy(),
+                 pnp_point2D_idxs=q["pnp_point2D_idxs"],
+                 pnp_points3D_id=q["pnp_points3D_id"],
+                 query_camera=q["query_camera"],
+                 query_fmaps=q["query_fmaps"]) for q in queries])
+
+        for q, s, b in zip(queries, serial, batched):
+            assert s["success"] and b["success"]
+            # batched QKA pads problems to common buckets -> identical math,
+            # identical results up to f32 reduction order
+            np.testing.assert_allclose(s["qvec"], b["qvec"], atol=5e-4)
+            np.testing.assert_allclose(s["tvec"], b["tvec"], atol=5e-3)
+            np.testing.assert_allclose(b["tvec"], q["gt"].tvec, atol=0.08)
+            assert abs(s["num_inliers"] - b["num_inliers"]) <= 2
