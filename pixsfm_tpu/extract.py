@@ -72,18 +72,13 @@ def features_from_image_list(extractor: FeatureExtractor, image_list,
         return image_name, extractor.load_image(image_dir / image_name)
 
     depth = int(extractor.conf.get("prefetch_depth", 2))
-    for image_name, img in progress_iter(
-            prefetch_map(_load, list(image_list), depth=depth),
-            desc="feature extraction", total=len(list(image_list))):
-        kps = keypoints_per_image.get(image_name)
-        kp_ids = (keypoint_ids_per_image or {}).get(image_name)
+    batch_size = max(int(extractor.conf.get("batch_size", 1)), 1)
+
+    def emit(image_name, fmaps):
         if keep_dev:
-            fmaps = extractor(img, keypoints=kps, keypoint_ids=kp_ids)
             for level, fmap in enumerate(fmaps):
                 manager.fset(level).emplace(image_name, fmap)
-            continue
-        fmaps = extractor(img, keypoints=kps,
-                          keypoint_ids=kp_ids, as_dict=True)
+            return
         for level, data in enumerate(fmaps):
             if use_cache:
                 write_featuremap(
@@ -98,6 +93,35 @@ def features_from_image_list(extractor: FeatureExtractor, image_list,
                     data["patches"], data["keypoint_ids"], data["corners"],
                     scale, is_sparse=data["metadata"]["is_sparse"])
                 manager.fset(level).emplace(image_name, fmap)
+
+    group: list = []       # (name, img, kps, kp_ids) of equal decoded size
+
+    def flush():
+        if not group:
+            return
+        outs = extractor.extract_batch(
+            [g[1] for g in group], [g[2] for g in group],
+            keypoint_ids_list=[g[3] for g in group], as_dict=not keep_dev)
+        for (name, *_), fmaps in zip(group, outs):
+            emit(name, fmaps)
+        group.clear()
+
+    for image_name, img in progress_iter(
+            prefetch_map(_load, list(image_list), depth=depth),
+            desc="feature extraction", total=len(list(image_list))):
+        kps = keypoints_per_image.get(image_name)
+        kp_ids = (keypoint_ids_per_image or {}).get(image_name)
+        if batch_size <= 1:
+            fmaps = extractor(img, keypoints=kps, keypoint_ids=kp_ids,
+                              as_dict=not keep_dev)
+            emit(image_name, fmaps)
+            continue
+        # group consecutive same-sized images into one batched forward
+        if group and (group[0][1].size != img.size
+                      or len(group) >= batch_size):
+            flush()
+        group.append((image_name, img, kps, kp_ids))
+    flush()
     return manager
 
 

@@ -117,6 +117,10 @@ class FeatureExtractor:
         # images decoded this many ahead of the device forward by a
         # background thread (extract.features_from_image_list); 0 disables
         "prefetch_depth": 2,
+        # >1: consecutive same-sized images run through ONE batched CNN
+        # forward per pyramid scale (extract.features_from_image_list) —
+        # fewer dispatches, better MXU utilization on small images
+        "batch_size": 1,
         "use_cache": False,
         "overwrite_cache": False,
         "load_cache_on_init": False,
@@ -176,6 +180,47 @@ class FeatureExtractor:
         # scales must be computed against the ORIGINAL image size
         img.original_size = orig_size
         return img
+
+    def extract_batch(self, images: Sequence[PIL.Image.Image],
+                      keypoints_list: Sequence[Optional[np.ndarray]],
+                      keypoint_ids_list: Optional[Sequence] = None,
+                      as_dict: bool = False) -> List[List]:
+        """One model forward for a batch of images with equal decoded size.
+
+        The per-image path dispatches one CNN forward per image; batching
+        stacks the preprocessed tensors and runs ONE forward per pyramid
+        scale — fewer dispatches and better MXU utilization on small
+        images. The batch is padded to a power of two (repeating the first
+        image; padded outputs are discarded) so group sizes map to few
+        compiled programs. Returns per-image lists of fmaps, exactly like
+        calling the extractor per image."""
+        B = len(images)
+        if B == 1:
+            return [self(images[0], keypoints=keypoints_list[0],
+                         keypoint_ids=(keypoint_ids_list or [None])[0],
+                         as_dict=as_dict)]
+        sizes = {im.size for im in images}
+        if len(sizes) > 1:
+            raise ValueError(f"extract_batch needs equal image sizes, "
+                             f"got {sizes}")
+        import jax.numpy as jnp
+        B_pad = 1 << int(np.ceil(np.log2(B)))
+        out: List[List] = [[] for _ in range(B)]
+        for pyr_scale in self.conf.pyr_scales:
+            tens = [self.model.preprocess(self.resize_image(im, pyr_scale))[0]
+                    for im in images]
+            tens += [tens[0]] * (B_pad - B)
+            feats = self.model(jnp.asarray(np.stack(tens)))
+            for fm in feats:
+                for i in range(B):
+                    img_size = getattr(images[i], "original_size",
+                                       images[i].size)
+                    kp_ids = (keypoint_ids_list[i]
+                              if keypoint_ids_list is not None else None)
+                    out[i].append(self._to_fmap(
+                        fm[i], img_size, keypoints_list[i], kp_ids,
+                        as_dict, None))
+        return out
 
     # -- main entry ---------------------------------------------------------
     def __call__(self, image_path, keypoints: Optional[np.ndarray] = None,

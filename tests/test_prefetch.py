@@ -94,13 +94,46 @@ def test_extraction_prefetch_matches_serial(tmp_path):
     kps = {n: rng.uniform(10, 30, (5, 2)) for n in names}
 
     outs = []
-    for depth in (0, 2):
+    for depth, batch in ((0, 1), (2, 1), (2, 4)):
         conf = {"model": {"name": "image"}, "patch_size": 8, "sparse": True,
                 "l2_normalize": False, "dtype": "float32",
-                "prefetch_depth": depth}
+                "prefetch_depth": depth, "batch_size": batch}
         mgr = features_from_image_list(FeatureExtractor(conf), names,
                                        tmp_path, keypoints_per_image=kps)
         outs.append({n: mgr.fset(0).get_map(n).get_patch(0).data
                      for n in names})
     for n in names:
         np.testing.assert_array_equal(outs[0][n], outs[1][n])
+        # batched CNN forward == per-image forward
+        np.testing.assert_allclose(outs[0][n], outs[2][n],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_batched_extraction_mixed_sizes(tmp_path):
+    """Shape changes inside the stream split the batch groups correctly."""
+    import PIL.Image
+
+    from pixsfm_tpu.extract import features_from_image_list
+    from pixsfm_tpu.features.extractor import FeatureExtractor
+
+    rng = np.random.default_rng(1)
+    sizes = [(40, 52), (40, 52), (30, 44), (40, 52)]
+    names = [f"m{i}.png" for i in range(len(sizes))]
+    for n, (h, w) in zip(names, sizes):
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+                tmp_path / n)
+    kps = {n: rng.uniform(8, 20, (4, 2)) for n in names}
+
+    ref, batched = [
+        features_from_image_list(
+            FeatureExtractor({"model": {"name": "image"}, "patch_size": 8,
+                              "sparse": True, "l2_normalize": False,
+                              "dtype": "float32", "batch_size": bs}),
+            names, tmp_path, keypoints_per_image=kps)
+        for bs in (1, 8)]
+    for n in names:
+        np.testing.assert_allclose(
+            ref.fset(0).get_map(n).get_patch(0).data,
+            batched.fset(0).get_map(n).get_patch(0).data,
+            rtol=1e-6, atol=1e-6)
