@@ -10,8 +10,12 @@ SCENES_OUTDOOR = ["courtyard", "electro", "facade", "meadow", "playground",
 SCENES = SCENES_INDOOR + SCENES_OUTDOOR
 
 # keypoint detectors/matchers; in this environment OpenCV SIFT is built in,
-# hloc detectors (superpoint/r2d2) require their checkpoints to be present.
+# learned detectors (superpoint/r2d2/d2net — all implemented in Flax in
+# features/models/) require their public checkpoints to be present.
+# Matches the reference's method matrix (config.py:30-137, incl. d2-net at
+# :81-89); DEFAULT_FEATURES there is sift/superpoint/r2d2.
 METHODS = ["sift", "superpoint", "r2d2"]
+EXTRA_METHODS = ["d2net"]
 
 # triangulation tolerances in meters (reference triangulation.py:181-182)
 TRIANGULATION_TOLERANCES = [0.01, 0.02, 0.05]

@@ -157,12 +157,19 @@ def match_exhaustive(names: List[str], descs: Dict, valid: Dict,
                     [1.0 - g.distance / 512.0 for g in good], np.float32)
         return matches, scores
 
-    r = 0.95 if ratio is None else ratio
+    # reference match_configs (pixsfm/eval/eth3d/config.py:95-119): learned
+    # descriptors use mutual NN + a *similarity* threshold (distance
+    # threshold sqrt(2*(1-sim))), no ratio test.
+    SIM_THRESH = {"superpoint": 0.755, "d2net": 0.8, "r2d2": 0.9}
+    if ratio is None and method in SIM_THRESH:
+        r, min_sim = np.inf, SIM_THRESH[method]
+    else:
+        r, min_sim = (0.95 if ratio is None else ratio), -1.0
     for i in range(len(names)):
         for j in range(i + 1, len(names)):
             m, s = mutual_nn_ratio_match(descs[names[i]], descs[names[j]],
                                          valid[names[i]], valid[names[j]],
-                                         ratio=r)
+                                         ratio=r, min_similarity=min_sim)
             if len(m) < min_matches:
                 continue
             matches[(names[i], names[j])] = m

@@ -2,6 +2,7 @@
 dynamic module loading; here a simple name registry)."""
 
 from .base_model import BaseModel  # noqa: F401
+from .d2net import D2Net
 from .dsift import DSIFT
 from .image import ImageModel
 from .r2d2 import R2D2
@@ -16,6 +17,7 @@ MODELS = {
     "image": ImageModel,
     "superpoint": SuperPoint,
     "r2d2": R2D2,
+    "d2net": D2Net,
 }
 
 

@@ -231,3 +231,114 @@ def test_r2d2_detect_static_shapes():
     n = np.linalg.norm(out["descriptors"][0][out["valid"][0]], axis=-1)
     if n.size:
         np.testing.assert_allclose(n, 1.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# D2-Net
+# ---------------------------------------------------------------------------
+
+from pixsfm_tpu.features.models.d2net import (  # noqa: E402
+    CAFFE_MEAN_BGR, D2NET_CONV_PLAN, D2Net, hard_detection, load_torch_d2net)
+
+
+def build_torch_d2net(seed=0):
+    """mihaidusmanu/d2-net test-time DenseFeatureExtractionModule:
+    nn.Sequential of VGG16 conv1_1..conv4_3 with pool3 stride 1 and
+    dilated conv4, wrapped under ``dense_feature_extraction.model`` as in
+    the public ``d2_tf.pth`` checkpoint layout."""
+    torch.manual_seed(seed)
+    layers = []
+    in_ch = 3
+    for ch, d, relu, pool in D2NET_CONV_PLAN:
+        layers.append(nn.Conv2d(in_ch, ch, 3, padding=d, dilation=d))
+        if relu:
+            layers.append(nn.ReLU(inplace=True))
+        if pool == "2x2":
+            layers.append(nn.MaxPool2d(2, stride=2))
+        elif pool == "2x1":
+            layers.append(nn.MaxPool2d(2, stride=1))
+        in_ch = ch
+    inner = nn.Module()
+    inner.model = nn.Sequential(*layers)
+    outer = nn.Module()
+    outer.dense_feature_extraction = inner
+    return outer
+
+
+def torch_d2net_forward(model, x):
+    model.eval()
+    with torch.no_grad():
+        out = model.dense_feature_extraction.model(x)
+    return out.permute(0, 2, 3, 1).numpy()
+
+
+def test_d2net_converter_matches_torch(tmp_path):
+    tmodel = build_torch_d2net(seed=8)
+    pth = tmp_path / "d2_tf.pth"
+    torch.save(tmodel.state_dict(), pth)
+
+    net = D2Net({"pretrained": None})
+    net.variables = load_torch_d2net(pth, net.variables)
+
+    rng = np.random.default_rng(9)
+    raw = rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32)
+    f_flax = np.asarray(net.module.apply(net.variables, jnp.asarray(raw)))
+    f_torch = torch_d2net_forward(tmodel,
+                                  torch.from_numpy(raw.transpose(0, 3, 1, 2)))
+    # stride 4 with the stride-1 pool3 eating one row/col: (64/4-1, 96/4-1)
+    assert f_flax.shape == (1, 15, 23, 512)
+    assert f_flax.shape == f_torch.shape
+    assert _rel_err(f_flax, f_torch) < 1e-4
+
+
+def test_d2net_hard_detection_matches_torch():
+    """The hard-detection gate (depthwise max + 3x3 local max + Hessian
+    edge rejection) must reproduce the public HardDetectionModule."""
+    rng = np.random.default_rng(10)
+    fmap = rng.normal(0, 1, (1, 12, 14, 8)).astype(np.float32)
+    ours = np.asarray(hard_detection(jnp.asarray(fmap), edge_threshold=5.0))
+
+    t = torch.from_numpy(fmap.transpose(0, 3, 1, 2))
+    depth_max = t.max(dim=1, keepdim=True).values
+    is_depth_max = t == depth_max
+    local_max = F.max_pool2d(t, 3, stride=1, padding=1)
+    is_local_max = t == local_max
+    dii_f = torch.tensor([[0, 1., 0], [0, -2., 0], [0, 1., 0]])
+    dij_f = 0.25 * torch.tensor([[1., 0, -1.], [0, 0., 0], [-1., 0, 1.]])
+    djj_f = torch.tensor([[0, 0, 0], [1., -2., 1.], [0, 0, 0]])
+    c = t.shape[1]
+    conv = lambda f: F.conv2d(t, f.view(1, 1, 3, 3).expand(c, -1, -1, -1),  # noqa: E731
+                              padding=1, groups=c)
+    dii, dij, djj = conv(dii_f), conv(dij_f), conv(djj_f)
+    det = dii * djj - dij * dij
+    tr = dii + djj
+    thr = (5.0 + 1) ** 2 / 5.0
+    not_edge = (det > 0) & (tr * tr <= thr * det)
+    detected = (is_depth_max & is_local_max & not_edge).any(dim=1)
+    ref = torch.where(detected, depth_max[:, 0], torch.zeros(())).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_d2net_preprocess_is_caffe():
+    img = np.random.default_rng(11).uniform(0, 1, (1, 4, 4, 3)).astype(
+        np.float32)
+    got = np.asarray(D2Net._preprocess_caffe(jnp.asarray(img)))
+    ref = img[..., ::-1] * 255.0 - CAFFE_MEAN_BGR
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_d2net_detect_static_shapes():
+    net = D2Net({"pretrained": None, "max_keypoints": 32})
+    img = np.random.default_rng(12).uniform(0, 1, (1, 64, 80, 3)).astype(
+        np.float32)
+    out = net.detect(img)
+    assert out["keypoints"].shape == (1, 32, 2)
+    assert out["descriptors"].shape == (1, 32, 512)
+    k = out["keypoints"][out["valid"]]
+    if len(k):
+        # 4*p + 1.5 mapping keeps detections on the image canvas
+        assert (k[:, 0] >= 1.5).all() and (k[:, 0] <= 79).all()
+        assert (k[:, 1] >= 1.5).all() and (k[:, 1] <= 63).all()
+    n = np.linalg.norm(out["descriptors"][0][out["valid"][0]], axis=-1)
+    if n.size:
+        np.testing.assert_allclose(n, 1.0, atol=1e-4)

@@ -38,6 +38,7 @@ def _write_pair(tmp_path: Path, shift=(16, 8), size=(128, 160), seed=0):
                     "max_keypoints": 256}, (16, 8)),
     ("r2d2", {"pretrained": None, "reliability_threshold": 0.0,
               "repeatability_threshold": 0.0, "max_keypoints": 256}, (16, 8)),
+    ("d2net", {"pretrained": None, "max_keypoints": 256}, (16, 8)),
 ])
 def test_learned_detector_recovers_shift(tmp_path, method, conf,
                                          stride_shift):
