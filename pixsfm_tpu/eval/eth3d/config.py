@@ -15,7 +15,7 @@ SCENES = SCENES_INDOOR + SCENES_OUTDOOR
 # Matches the reference's method matrix (config.py:30-137, incl. d2-net at
 # :81-89); DEFAULT_FEATURES there is sift/superpoint/r2d2.
 METHODS = ["sift", "superpoint", "r2d2"]
-EXTRA_METHODS = ["d2net"]
+EXTRA_METHODS = ["d2net", "loftr"]  # loftr is detector-free (semi-dense)
 
 # triangulation tolerances in meters (reference triangulation.py:181-182)
 TRIANGULATION_TOLERANCES = [0.01, 0.02, 0.05]
