@@ -31,14 +31,21 @@ __all__ = ["run_scene", "main", "format_results"]
 def detect_and_match(image_dir: Path, names: List[str], max_edge=1600,
                      n_features=8000, method: str = "sift"):
     """Front-end for one scene: detection + exhaustive matching + geometric
-    verification. ``method`` is one of config.METHODS (sift / superpoint /
-    r2d2 — the learned ones run the Flax detectors on device; their
-    descriptor quality requires checkpoints, see features/models/)."""
-    from ...features.detectors import detect_and_match_dir
+    verification. ``method`` is one of config.METHODS / EXTRA_METHODS
+    (sift / superpoint / r2d2 / d2net / loftr — the learned ones run the
+    Flax models on device; descriptor/matcher quality requires checkpoints,
+    see features/models/). ``loftr`` is detector-free: matches come first
+    and are aggregated to keypoints (reference eval config.py:90-92,
+    :120-131 — resize_max 1024, cell_size 1)."""
+    from ...features.detectors import detect_and_match_dir, match_loftr_dir
 
-    kps, matches, scores = detect_and_match_dir(
-        image_dir, names, method=method, max_edge=max_edge,
-        n_features=n_features)
+    if method == "loftr":
+        kps, matches, scores = match_loftr_dir(image_dir, names,
+                                               max_edge=1024)
+    else:
+        kps, matches, scores = detect_and_match_dir(
+            image_dir, names, method=method, max_edge=max_edge,
+            n_features=n_features)
     return kps, verify_all_pairs(matches, kps, scores)
 
 
