@@ -488,6 +488,36 @@ def bench_extract(H=480, W=640, reps=20):
     return 1.0 / max(best, 1e-9)
 
 
+def bench_loftr(H=480, W=640, reps=10):
+    """Detector-free LoFTR pair matching (image pairs/s at HxW): backbone +
+    linear-attention coarse transformer over L=H/8*W/8 tokens + dual-softmax
+    + fine refinement, one jitted program per pair. The reference delegates
+    this to torch-GPU hloc; here it is MXU work end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixsfm_tpu.features.models.loftr import LoFTR
+
+    m = LoFTR({"pretrained": None, "max_matches": 1024,
+               "match_threshold": 0.0})
+    rng = np.random.default_rng(0)
+    img0 = jnp.asarray(rng.uniform(0, 1, (H, W)), jnp.float32)
+    img1 = jnp.asarray(rng.uniform(0, 1, (H, W)), jnp.float32)
+    m.match_pair(np.zeros((H, W), np.float32),
+                 np.zeros((H, W), np.float32))  # compile
+    fn = m._jit_match[((H, W), (H, W))]
+    _sync(fn(m.variables, img0, img1))
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(m.variables, img0, img1)
+        _sync(out)
+        dt = (time.time() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    return 1.0 / best
+
+
 def bench_localize(n_images=5, n_points=60, C=8, ps=16, reps=8):
     """End-to-end localization throughput (queries/s): synthetic
     featuremetric scene, one image held out as the query, repeated
@@ -627,7 +657,8 @@ def main():
                     ("fm_ba_lm_ms_per_iter_20k_obs_c128",
                      bench_ba_featuremetric),
                     ("ba_lm_ms_per_iter_2m_obs_500k_pts", bench_ba_large),
-                    ("extract_imgs_per_s", bench_extract)):
+                    ("extract_imgs_per_s", bench_extract),
+                    ("loftr_pairs_per_s_480x640", bench_loftr)):
         try:
             out[key] = round(fn(), 2)
         except Exception as e:  # never lose the headline metric
