@@ -153,9 +153,45 @@ def _build_costmap(model, interp_key):
     return residual_fn
 
 
+def _build_feature_reference_window(model, interp_key):
+    """Feature-reference residual with the patch window travelling PER
+    OBSERVATION in ``obs_data`` instead of a shared replicated ``ctx`` stack.
+
+    This is the multi-chip payload layout: under a sharded obs axis each
+    chip's HBM holds only its shard's patch windows — the TPU analogue of
+    the reference's per-subproblem FeatureView loads
+    (featuremetric_keypoint_optimizer.h:117-137) and the layout that makes
+    Aachen-scale feature payloads (~350 GB, README.md:291) shardable."""
+    from ..util.jit_cache import interp_from_key
+    interp = interp_from_key(interp_key)
+    mixed = _is_mixed(model)
+    if isinstance(model, tuple) and not mixed:
+        model = model[0]
+
+    def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        if mixed:
+            window, corner, scale, ups, target, mi = obs_slice
+            xy = _switch_project(model, mi, cam, qvec, tvec, X)
+        else:
+            window, corner, scale, ups, target = obs_slice
+            xy = _safe_project(model, cam, qvec, tvec, X)
+        pc = (xy * scale - 0.5 - corner) * ups
+        from ..base.interpolation import (bounds_violation,
+                                          interpolate_residual)
+        f = interpolate_residual(window[None], 0, pc[1], pc[0], interp)
+        r = f - target
+        if interp.check_bounds:
+            viol = bounds_violation(pc[1], pc[0], window.shape[0],
+                                    window.shape[1])
+            r = jnp.concatenate([r, viol[None]])
+        return r
+    return residual_fn
+
+
 _RESIDUAL_BUILDERS = {
     "geometric": _build_geometric,
     "feature_reference": _build_feature_reference,
+    "feature_reference_window": _build_feature_reference_window,
     "costmap": _build_costmap,
 }
 
@@ -301,9 +337,37 @@ def _build_costmap_jac(model, interp_key):
     return residual_jac_fn
 
 
+def _build_feature_reference_window_jac(model, interp_key):
+    from ..util.jit_cache import interp_from_key
+    from ..base.projection import project_with_jac
+    interp = interp_from_key(interp_key)
+    if interp.ncc_normalize:
+        return None
+    mixed = _is_mixed(model)
+    if isinstance(model, tuple) and not mixed:
+        model = model[0]
+
+    def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        if mixed:
+            window, corner, scale, ups, target, mi = obs_slice
+            pix, Jpix = _switch_project_with_jac(model, mi, cam, qvec, tvec,
+                                                 X)
+        else:
+            window, corner, scale, ups, target = obs_slice
+            pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
+            Jpix = _jac_cat(Jp, Jc, Jx)
+        f, J = _interp_residual_jac(interp, window[None], 0, pix, Jpix,
+                                    scale, ups, corner)
+        r = f.at[:target.shape[0]].add(-target) if interp.check_bounds \
+            else f - target
+        return r, J
+    return residual_jac_fn
+
+
 _RESIDUAL_JAC_BUILDERS = {
     "geometric": _build_geometric_jac,
     "feature_reference": _build_feature_reference_jac,
+    "feature_reference_window": _build_feature_reference_window_jac,
     "costmap": _build_costmap_jac,
 }
 
@@ -357,6 +421,12 @@ class BundleAdjuster:
             "num_threads": -1,
         },
         "repeats": 1,
+        # multi-chip: shard the observation axis (and its patch payload)
+        # over the local device mesh. The one-knob analogue of the
+        # reference's ``optimizer.num_threads``
+        # (parallel_optimizer.h:70-216, doc/general.md:109-113);
+        # n_devices=None uses every local device.
+        "parallel": {"enabled": False, "n_devices": None},
     }
 
     def __init__(self, conf=None):
@@ -390,6 +460,21 @@ class BundleAdjuster:
         return BAOptions.from_solver_conf(self.conf.optimizer.get("solver"),
                                           **overrides)
 
+    def _parallel_mesh(self):
+        """Device mesh when ``parallel.enabled`` and >1 device is available
+        (else None). Routes every strategy's `_run_ba_cached` through
+        SPMD-sharded observations — the public-pipeline multi-chip path."""
+        par = self.conf.get("parallel") or {}
+        if not par.get("enabled"):
+            return None
+        import jax as _jax
+        n = par.get("n_devices") or len(_jax.devices())
+        n = min(int(n), len(_jax.devices()))
+        if n <= 1:
+            return None
+        from ..parallel import make_mesh
+        return make_mesh(n)
+
     def _run_ba_cached(self, reconstruction: Reconstruction,
                        packed: PackedBA, residual_key, obs_data, ctx,
                        loss, opts: BAOptions, obs_valid=None) -> Dict:
@@ -397,9 +482,13 @@ class BundleAdjuster:
         from ..util.jit_cache import bucket
 
         t0 = time.time()
+        mesh = self._parallel_mesh()
+        ndev = int(mesh.devices.size) if mesh is not None else 1
         O = len(packed.obs_img)
         Np = len(packed.point_ids)
         O_pad = bucket(O + 1)          # always >=1 padded obs slot (pair pad)
+        if ndev > 1:                   # shardable obs axis
+            O_pad = -(-O_pad // ndev) * ndev
         Np_pad = bucket(Np, minimum=4)
 
         def pad_to(a, n, fill=0):
@@ -427,6 +516,8 @@ class BundleAdjuster:
         else:
             pair_o1, pair_o2 = make_pair_list(packed.obs_pt, Np)
         Q_pad = bucket(len(pair_o1), minimum=4)
+        if ndev > 1:
+            Q_pad = -(-Q_pad // ndev) * ndev
         pair_o1 = pad_to(pair_o1, Q_pad, O)   # pad pairs -> invalid obs slot
         pair_o2 = pad_to(pair_o2, Q_pad, O)
 
@@ -444,7 +535,7 @@ class BundleAdjuster:
         T_b = max(1 << int(np.ceil(np.log2(max(T_max, 1)))), 4)
         large_pts = Np_pad * opts.obs_chunk > _ONEHOT_BUDGET
         O_grid = Np_pad * T_b
-        if (opts.linear_solver == "cg" and large_pts
+        if (ndev == 1 and opts.linear_solver == "cg" and large_pts
                 and O_grid <= 2 * O_pad and O_grid % opts.obs_chunk == 0):
             import dataclasses
             order = np.argsort(packed.obs_pt, kind="stable")
@@ -460,7 +551,7 @@ class BundleAdjuster:
             grid_valid[slot] = real_valid[order]
             opts = dataclasses.replace(opts, obs_grid_T=T_b)
             O_pad = O_grid
-        elif large_pts and Np_pad * T_b <= 4 * O_pad:
+        elif ndev == 1 and large_pts and Np_pad * T_b <= 4 * O_pad:
             pt_slot = jnp.asarray(
                 make_point_major(packed.obs_pt, Np_pad, O_pad))
         # image axis: the CG matvec reduces over the FULL observation axis,
@@ -471,7 +562,7 @@ class BundleAdjuster:
         img_lens = np.bincount(packed.obs_img, minlength=max(n_img, 1))
         Ti = int(img_lens.max(initial=1))
         Ti_b = max(1 << int(np.ceil(np.log2(max(Ti, 1)))), 4)
-        if (grid_src is None and n_img * O_pad > _ONEHOT_BUDGET
+        if (ndev == 1 and grid_src is None and n_img * O_pad > _ONEHOT_BUDGET
                 and n_img * Ti_b <= 4 * O_pad):
             img_slot = jnp.asarray(
                 make_point_major(packed.obs_img, n_img, O_pad))
@@ -503,6 +594,32 @@ class BundleAdjuster:
         xyz[Np:] = [0.0, 0.0, 10.0]  # padded points safely in front
         state0 = BAState(jnp.asarray(packed.qvec), jnp.asarray(packed.tvec),
                          jnp.asarray(packed.cams), jnp.asarray(xyz))
+
+        if mesh is not None:
+            # multi-chip placement: observations (+ their payload, incl.
+            # patch windows in the *_window residuals) shard over the mesh;
+            # parameters/ctx stay replicated. XLA SPMD turns the normal-
+            # equation segment reductions into ICI psums (SURVEY.md 2.9).
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            _shard = NamedSharding(mesh, _P(mesh.axis_names[0]))
+            _repl = NamedSharding(mesh, _P())
+
+            def _put_s(a):
+                return jax.device_put(a, _shard)
+
+            obs = obs._replace(
+                img_idx=_put_s(obs.img_idx), cam_idx=_put_s(obs.cam_idx),
+                pt_idx=_put_s(obs.pt_idx),
+                obs_data=jax.tree_util.tree_map(_put_s, obs.obs_data),
+                valid=_put_s(obs.valid),
+                pair_o1=_put_s(obs.pair_o1), pair_o2=_put_s(obs.pair_o2))
+            state0 = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, _repl), state0)
+            ctx = jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), _repl), ctx)
+            logger.info("BA: sharding %d observations over %d devices.",
+                        O, ndev)
 
         # a-priori memory estimate (reference NumNonZerosJacobian warning,
         # bundle_optimizer.h:200-208): the per-chunk Jacobian intermediate is
@@ -708,9 +825,15 @@ class FeatureReferenceBundleAdjuster(BundleAdjuster):
         pf = view.packed
 
         if references is None:
+            _mesh = self._parallel_mesh()
+            _sh = None
+            if _mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as _P
+                _sh = NamedSharding(_mesh, _P(_mesh.axis_names[0]))
             references = extract_references(
                 reconstruction, feature_set, view, self.conf.references,
-                interp, point3D_ids=packed.point_ids)
+                interp, point3D_ids=packed.point_ids, sharding=_sh)
 
         # per-observation patch + target descriptor arrays; observations
         # without an extracted patch or a reference get weight 0
@@ -737,6 +860,25 @@ class FeatureReferenceBundleAdjuster(BundleAdjuster):
                            int((~obs_valid).sum()), O)
 
         from ..util.jit_cache import interp_static_key
+
+        if self._parallel_mesh() is not None:
+            # multi-chip payload layout: each observation carries its own
+            # patch window in obs_data, so the feature payload shards over
+            # the mesh with the observations (each chip's HBM holds only its
+            # shard — the Aachen-scale story, reference README.md:291).
+            windows = np.asarray(pf.patches)[rows].astype(np.float32)
+            obs_data = (windows,
+                        pf.corners[rows].astype(np.float32),
+                        pf.scales[rows].astype(np.float32),
+                        pf.upsampling[rows].astype(np.float32),
+                        targets)
+            if mixed:
+                mi = packed.cam_model_idx[packed.obs_cam].astype(np.int32)
+                obs_data = obs_data + (mi,)
+            return self._run_ba_cached(
+                reconstruction, packed,
+                ("feature_reference_window", model, interp_static_key(interp)),
+                obs_data, (), loss, opts, obs_valid=obs_valid)
 
         ctx = (jnp.asarray(pf.patches),
                jnp.asarray(pf.corners.astype(np.float32)),

@@ -153,7 +153,24 @@ class KeypointAdjuster:
         # Worth enabling on local accelerators with early-converging scenes;
         # costs one dispatch round-trip per chunk per segment.
         "compaction_segment": 0,
+        # multi-chip: shard the problem batch axis over the local device
+        # mesh (pure data parallelism — KA subproblems are independent).
+        # The one-knob analogue of the reference's ``optimizer.num_threads``
+        # (parallel_optimizer.h:70-216); n_devices=None uses every device.
+        "parallel": {"enabled": False, "n_devices": None},
     }
+
+    def _parallel_mesh(self):
+        par = self.conf.get("parallel") or {}
+        if not par.get("enabled"):
+            return None
+        import jax
+        n = par.get("n_devices") or len(jax.devices())
+        n = min(int(n), len(jax.devices()))
+        if n <= 1:
+            return None
+        from ..parallel import make_mesh
+        return make_mesh(n)
 
     def __init__(self, conf=None):
         self.conf = merge(self.default_conf, conf or {})
@@ -227,7 +244,8 @@ class KeypointAdjuster:
             problems, packed.patches, interp, loss, lm_opts,
             chunk=int(self.conf.get("problem_chunk_size", 128)),
             use_pallas=bool(self.conf.get("use_pallas_interpolation", False)),
-            compaction_segment=int(self.conf.get("compaction_segment", 0)))
+            compaction_segment=int(self.conf.get("compaction_segment", 0)),
+            mesh=self._parallel_mesh())
 
         # write back refined keypoints (vectorized per image)
         image_ids, feature_idxs = graph.nodes_array()

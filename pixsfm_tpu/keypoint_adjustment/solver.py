@@ -666,8 +666,9 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
                       interp: InterpolationConfig, loss: RobustLoss,
                       lm_opts: LMOptions, chunk: int = 128,
                       use_pallas: bool = False,
-                      compaction_segment: int = 0) -> Tuple[np.ndarray,
-                                                             Dict]:
+                      compaction_segment: int = 0,
+                      mesh=None) -> Tuple[np.ndarray,
+                                          Dict]:
     """Run all padded problems through the batched LM, chunked to bound memory.
 
     ``compaction_segment > 0`` runs the LM in segments of that many
@@ -681,13 +682,35 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
     large fraction of problems converges early — on the remote-tunnel dev
     setup it measured slower (examples/bench_compaction.py).
 
+    ``mesh`` (a jax.sharding.Mesh): shard the problem batch axis of every
+    chunk over the device mesh — KA subproblems are independent, so this is
+    pure data parallelism with zero cross-chip communication (the multi-chip
+    analogue of the reference's thread pool over FFD bins,
+    parallel_optimizer.h:70-216). The per-device chunk size stays ``chunk``
+    (the global chunk scales by the mesh size); patches are replicated.
+
     Returns refined kp [P, K, 2] and a merged summary dict (the reference
     merges per-subset Ceres summaries — util/src/statistics.h:14-60).
     """
     from dataclasses import replace as _dc_replace
 
     P, K, _ = problems.kp0.shape
-    all_patches = jnp.asarray(packed_patches)
+
+    _shard = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+        ndev = int(mesh.devices.size)
+        chunk = max(1, chunk) * ndev      # constant per-device load
+        _shard = NamedSharding(mesh, _P(mesh.axis_names[0]))
+        _repl = NamedSharding(mesh, _P())
+        all_patches = jax.device_put(jnp.asarray(packed_patches), _repl)
+    else:
+        all_patches = jnp.asarray(packed_patches)
+
+    def _dput(a):
+        a = jnp.asarray(a)
+        return a if _shard is None else jax.device_put(a, _shard)
 
     seg = int(compaction_segment) if compaction_segment else 0
     if seg <= 0 or seg >= lm_opts.max_iterations:
@@ -731,7 +754,7 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
                     axis=0)
 
             x0 = pad0(x_cur[idx]).reshape(chunk, K * 2)
-            data = tuple(jnp.asarray(pad0(a)) for a in (
+            data = tuple(_dput(pad0(a)) for a in (
                 problems.patch_row[idx], problems.corner[idx],
                 problems.scale[idx], problems.ups[idx],
                 problems.edge_i[idx], problems.edge_j[idx],
@@ -741,10 +764,10 @@ def solve_ka_problems(problems: KAProblems, packed_patches: np.ndarray,
             upper = pad0(upper_np[idx], 1e30)
             pmask = np.zeros(chunk, bool)
             pmask[:n] = True
-            return (idx, n, jnp.asarray(x0), data, jnp.asarray(kp_free),
-                    jnp.asarray(lower), jnp.asarray(upper),
-                    jnp.asarray(pmask),
-                    jnp.asarray(pad0(lam_cur[idx], lm_opts.initial_lambda)))
+            return (idx, n, _dput(x0), data, _dput(kp_free),
+                    _dput(lower), _dput(upper),
+                    _dput(pmask),
+                    _dput(pad0(lam_cur[idx], lm_opts.initial_lambda)))
 
         packed_chunks = prefetch_map(pack_chunk, range(n_chunks), depth=1)
         for ci, (idx, n, x0_d, data, kp_free_d, lower_d, upper_d, pmask_d,

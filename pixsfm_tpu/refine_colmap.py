@@ -41,6 +41,10 @@ class PixSfM:
         "mapping": {
             "dense_features": "${..dense_features}",
             "interpolation": "${..interpolation}",
+            # one-knob multi-chip switch: flows into KA and BA (the
+            # reference's equivalent single knob is optimizer.num_threads,
+            # parallel_optimizer.h:70-216 / doc/general.md:109-113)
+            "parallel": {"enabled": False, "n_devices": None},
             "KA": KeypointAdjuster.default_conf,
             "BA": BundleAdjuster.default_conf,
         },
@@ -72,6 +76,11 @@ class PixSfM:
             explicit = _user_sub("mapping", name, "interpolation")
             if explicit is not None:
                 sc = merge(sc, {"interpolation": explicit})
+            # one-knob multi-chip: mapping.parallel flows into each strategy
+            # unless the user set a per-strategy block explicitly
+            if _user_sub("mapping", name, "parallel") is None:
+                sc = merge(sc, {"parallel": mapping.get(
+                    "parallel", {"enabled": False, "n_devices": None})})
             return sc
 
         self.keypoint_adjuster = KeypointAdjuster.create(_strategy_conf("KA"))

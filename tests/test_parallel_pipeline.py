@@ -1,0 +1,127 @@
+"""Multi-chip reachable from the PUBLIC pipeline API: the one-knob
+``parallel: {enabled, n_devices}`` config must route KA and BA through the
+sharded 8-device CPU mesh (conftest) and produce the same result as the
+single-device pipeline — no ``pixsfm_tpu.parallel`` import needed by the user
+(the analogue of the reference's single ``optimizer.num_threads`` knob,
+parallel_optimizer.h:70-216 / doc/general.md:109-113).
+
+The BA parallel path also switches the featuremetric payload layout: patch
+windows travel PER OBSERVATION in ``obs_data`` and shard over the mesh with
+the observations ("feature_reference_window" residual) — each chip's HBM then
+holds only its shard of the feature payload, which is the multi-chip scaling
+story for Aachen-sized caches (reference README.md:291).
+"""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+from test_feature_reference_ba import featuremetric_scene
+from test_keypoint_adjustment import make_scene, _Manager
+
+
+def _registered(rec):
+    out = {}
+    for im in rec.images.values():
+        out[im.name] = (np.asarray(im.qvec, np.float64),
+                        np.asarray(im.tvec, np.float64))
+    return out
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+
+
+def test_ba_parallel_conf_matches_single_device():
+    """FeatureReferenceBundleAdjuster with parallel.enabled=true (sharded
+    obs + per-obs patch windows) == the single-device ctx-stack path."""
+    from pixsfm_tpu.bundle_adjustment import FeatureReferenceBundleAdjuster
+
+    base = {
+        "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+        "optimizer": {"loss": {"name": "cauchy", "params": [0.25]},
+                      "solver": {"max_num_iterations": 10}},
+        "references": {"loss": {"name": "cauchy", "params": [0.25]},
+                       "iters": 10},
+    }
+
+    rec_a, fset_a = featuremetric_scene(seed=7, n_images=4, n_points=30)
+    rec_b = copy.deepcopy(rec_a)
+
+    adj_single = FeatureReferenceBundleAdjuster(base)
+    out_single = adj_single.refine(rec_a, fset_a)
+
+    conf_par = copy.deepcopy(base)
+    conf_par["parallel"] = {"enabled": True, "n_devices": 8}
+    adj_par = FeatureReferenceBundleAdjuster(conf_par)
+    assert adj_par._parallel_mesh() is not None
+    out_par = adj_par.refine(rec_b, fset_a)
+
+    np.testing.assert_allclose(out_par["final_cost"],
+                               out_single["final_cost"], rtol=1e-3)
+    pa, pb = _registered(rec_a), _registered(rec_b)
+    for name in pa:
+        np.testing.assert_allclose(pb[name][0], pa[name][0], atol=2e-4)
+        np.testing.assert_allclose(pb[name][1], pa[name][1], atol=2e-3)
+    xa = np.stack([p.xyz for p in rec_a.points3D.values()])
+    xb = np.stack([p.xyz for p in rec_b.points3D.values()])
+    np.testing.assert_allclose(xb, xa, atol=5e-3)
+
+
+def test_ka_parallel_conf_matches_single_device():
+    """FeatureMetricKeypointAdjuster with parallel.enabled=true (problem
+    batch axis sharded over the mesh) == the single-device chunked solve."""
+    from pixsfm_tpu.keypoint_adjustment import (FeatureMetricKeypointAdjuster,
+                                                build_matching_graph)
+
+    base = {
+        "interpolation": {"mode": "BICUBIC", "l2_normalize": True},
+        "optimizer": {"loss": {"name": "trivial", "params": []}},
+        "max_kps_per_problem": 8,
+    }
+
+    field, true_xy, fset, kps0, matches, names = make_scene(seed=11)
+    graph = build_matching_graph(matches)
+
+    kps_single = {k: v.copy() for k, v in kps0.items()}
+    adj = FeatureMetricKeypointAdjuster(base)
+    out_single = adj.refine_multilevel(kps_single, _Manager(fset), graph)
+
+    conf_par = dict(base, parallel={"enabled": True, "n_devices": 8})
+    kps_par = {k: v.copy() for k, v in kps0.items()}
+    adj_par = FeatureMetricKeypointAdjuster(conf_par)
+    assert adj_par._parallel_mesh() is not None
+    out_par = adj_par.refine_multilevel(kps_par, _Manager(fset), graph)
+
+    np.testing.assert_allclose(np.sum(out_par["final_cost"]),
+                               np.sum(out_single["final_cost"]), rtol=1e-3)
+    for name in names:
+        np.testing.assert_allclose(kps_par[name], kps_single[name],
+                                   atol=5e-3)
+
+
+def test_pixsfm_parallel_knob_flows_to_strategies():
+    """mapping.parallel reaches both KA and BA confs through PixSfM(conf) —
+    the user never touches pixsfm_tpu.parallel."""
+    from pixsfm_tpu.refine_colmap import PixSfM
+
+    sfm = PixSfM({"mapping": {"parallel": {"enabled": True,
+                                           "n_devices": 4}}})
+    for adj in (sfm.keypoint_adjuster, sfm.bundle_adjuster):
+        par = adj.conf.get("parallel")
+        assert par and bool(par["enabled"]) and int(par["n_devices"]) == 4
+        mesh = adj._parallel_mesh()
+        assert mesh is not None and mesh.devices.size == 4
+
+    # default: off
+    sfm0 = PixSfM({})
+    assert sfm0.bundle_adjuster._parallel_mesh() is None
+    assert sfm0.keypoint_adjuster._parallel_mesh() is None
+
+    # per-strategy override beats the mapping-level knob
+    sfm1 = PixSfM({"mapping": {"parallel": {"enabled": True},
+                               "BA": {"parallel": {"enabled": False}}}})
+    assert sfm1.bundle_adjuster._parallel_mesh() is None
+    assert sfm1.keypoint_adjuster._parallel_mesh() is not None
