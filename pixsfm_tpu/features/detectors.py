@@ -240,8 +240,22 @@ def aggregate_semidense_matches(pair_matches: Dict, cell_size: float = 1.0):
             c = float(conf[k])
             if (i0, i1) not in best or c > best[(i0, i1)][0]:
                 best[(i0, i1)] = (c, i0, i1)
-        if best:
-            vals = sorted(best.values(), key=lambda t: (t[1], t[2]))
+        # one-to-one within the pair (the contract of the detector-based
+        # matchers): several matches can quantize into the same source cell
+        # with DIFFERENT target cells — keep only the highest-confidence
+        # assignment per i0 and per i1 (greedy by confidence), otherwise
+        # track building merges multiple observations of one image into a
+        # single track
+        used0, used1 = set(), set()
+        vals = []
+        for c, i0, i1 in sorted(best.values(), reverse=True):
+            if i0 in used0 or i1 in used1:
+                continue
+            used0.add(i0)
+            used1.add(i1)
+            vals.append((c, i0, i1))
+        if vals:
+            vals.sort(key=lambda t: (t[1], t[2]))
             matches[(n0, n1)] = np.array([[i0, i1] for _, i0, i1 in vals],
                                          np.int64)
             scores[(n0, n1)] = np.array([c for c, _, _ in vals], np.float32)
@@ -269,6 +283,10 @@ def match_loftr_dir(image_dir: Path, names: List[str],
     loaded = {}
     for name in names:
         img = cv2.imread(str(image_dir / name), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(
+                f"cannot read image {image_dir / name} (missing or not a "
+                "decodable image)")
         scale = 1.0
         if max(img.shape) > max_edge:
             scale = max_edge / max(img.shape)

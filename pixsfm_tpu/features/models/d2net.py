@@ -168,7 +168,15 @@ class D2Net(BaseModel):
     def detect(self, image: np.ndarray):
         """image [B, H, W, 3] float32 in [0,1] (H, W multiples of 4) ->
         dict(keypoints [B,K,2] image pixels, scores, valid, descriptors
-        [B,K,512] L2-normalized) numpy, K static."""
+        [B,K,512] L2-normalized) numpy, K static.
+
+        Includes the public pipeline's ``HandcraftedLocalizationModule``
+        sub-pixel step (multiscale=False path of ``process_multiscale``):
+        per keypoint, on the depth-max channel's plane, solve the 2x2
+        Newton system H d = -g (central-difference gradient/Hessian);
+        points whose displacement exceeds 0.5 cells in either axis are
+        dropped (public mask semantics), and descriptors are BILINEARLY
+        interpolated from the dense map at the refined position."""
         conf = self.conf
 
         if self._jit_detect is None:
@@ -183,11 +191,51 @@ class D2Net(BaseModel):
                     score, int(conf.max_keypoints), 0.0, border=1)
                 ii = xy[..., 1].astype(jnp.int32)
                 jj = xy[..., 0].astype(jnp.int32)
-                d = jax.vmap(lambda dm, i, j: dm[i, j])(fmap, ii, jj)
+
+                def per_image(fm, i, j):
+                    H, W, _ = fm.shape
+                    c = jnp.argmax(fm[i, j], axis=-1)          # [K]
+
+                    def tap(di, dj):
+                        return fm[jnp.clip(i + di, 0, H - 1),
+                                  jnp.clip(j + dj, 0, W - 1), c]
+
+                    f0 = tap(0, 0)
+                    di_ = 0.5 * (tap(1, 0) - tap(-1, 0))
+                    dj_ = 0.5 * (tap(0, 1) - tap(0, -1))
+                    dii = tap(-1, 0) - 2.0 * f0 + tap(1, 0)
+                    djj = tap(0, -1) - 2.0 * f0 + tap(0, 1)
+                    dij = 0.25 * (tap(-1, -1) - tap(-1, 1)
+                                  - tap(1, -1) + tap(1, 1))
+                    det = dii * djj - dij * dij
+                    safe = jnp.where(jnp.abs(det) < 1e-10, 1.0, det)
+                    disp_i = -(djj * di_ - dij * dj_) / safe
+                    disp_j = -(dii * dj_ - dij * di_) / safe
+                    good = ((jnp.abs(det) >= 1e-10)
+                            & (jnp.abs(disp_i) < 0.5)
+                            & (jnp.abs(disp_j) < 0.5))
+                    disp_i = jnp.where(good, disp_i, 0.0)
+                    disp_j = jnp.where(good, disp_j, 0.0)
+                    fi = i.astype(jnp.float32) + disp_i
+                    fj = j.astype(jnp.float32) + disp_j
+                    # bilinear descriptor interpolation at the refined
+                    # position (public interpolate_dense_features)
+                    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, H - 2)
+                    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, W - 2)
+                    wi = (fi - i0)[:, None]
+                    wj = (fj - j0)[:, None]
+                    d = ((1 - wi) * (1 - wj) * fm[i0, j0]
+                         + (1 - wi) * wj * fm[i0, j0 + 1]
+                         + wi * (1 - wj) * fm[i0 + 1, j0]
+                         + wi * wj * fm[i0 + 1, j0 + 1])
+                    return fi, fj, good, d
+
+                fi, fj, good, d = jax.vmap(per_image)(fmap, ii, jj)
                 d = d / jnp.maximum(
                     jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
                 # upscale_positions with 2 scaling steps: p -> 2p+0.5 twice
-                return xy * 4.0 + 1.5, val, ok & (val > 0), d
+                xy_img = jnp.stack([fj, fi], axis=-1) * 4.0 + 1.5
+                return xy_img, val, ok & good & (val > 0), d
 
             self._jit_detect = run
         xy, val, ok, d = self._jit_detect(self.variables,

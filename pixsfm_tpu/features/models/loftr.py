@@ -343,11 +343,22 @@ class LoFTR:
     def match_pair(self, img0: np.ndarray, img1: np.ndarray):
         """img* [H, W] float32 grayscale in [0,1], H, W multiples of 8
         (same shape for both)."""
-        key = (img0.shape, img1.shape)
+        # the coarse grid has (H/8)*(W/8) cells; top_k needs k <= cells, so
+        # clamp (small images would otherwise crash deep inside XLA)
+        hc, wc = img0.shape[0] // 8, img0.shape[1] // 8
+        max_matches = min(int(self.conf.max_matches), hc * wc)
+        # cache key includes every conf value baked into the traced program:
+        # mutating conf after a first call must not silently reuse stale
+        # compiled settings for already-seen shapes
+        conf_key = (max_matches, float(self.conf.match_threshold),
+                    int(self.conf.border_rm),
+                    float(self.conf.dual_softmax_temperature),
+                    int(self.conf.fine_window))
+        key = (img0.shape, img1.shape, conf_key)
         if key not in self._jit_match:
             self._jit_match[key] = jax.jit(partial(
                 _match_pair_impl, module=self.module,
-                max_matches=int(self.conf.max_matches),
+                max_matches=max_matches,
                 thr=float(self.conf.match_threshold),
                 border=int(self.conf.border_rm),
                 temp=float(self.conf.dual_softmax_temperature),

@@ -392,3 +392,56 @@ def test_match_loftr_dir_contract(tmp_path, converted):
     for (n0, n1), mm in matches.items():
         g.register_matches(n0, n1, mm, scores[(n0, n1)])
     assert g.num_edges > 0
+
+
+def test_aggregate_semidense_one_to_one_within_pair():
+    """One source cell matched to several target cells (and vice versa) must
+    collapse to a single highest-confidence assignment per pair — the
+    one-to-one contract of the detector-based matchers (otherwise track
+    building merges multiple observations of one image into a track)."""
+    from pixsfm_tpu.features.detectors import aggregate_semidense_matches
+    xy_a = np.array([[10.2, 5.1], [10.3, 5.2], [10.1, 5.4], [20.0, 9.0]])
+    xy_b = np.array([[30.0, 6.0], [44.0, 7.0], [52.0, 8.0], [30.1, 6.1]])
+    conf = np.array([0.4, 0.9, 0.6, 0.7])
+    kps, matches, scores = aggregate_semidense_matches(
+        {("a", "b"): (xy_a, xy_b, conf)}, cell_size=1.0)
+    m = matches[("a", "b")]
+    # source cell 0 had 3 candidate targets -> only the 0.9 one survives;
+    # target cell 0 is also matched by source cell 1 (conf 0.7), which is
+    # one-to-one-compatible and stays
+    assert len(m) == 2
+    assert len(np.unique(m[:, 0])) == len(m)
+    assert len(np.unique(m[:, 1])) == len(m)
+    i0 = int(np.nonzero(m[:, 0] == 0)[0][0])
+    assert scores[("a", "b")][i0] == pytest.approx(0.9)
+
+
+def test_match_loftr_dir_missing_image_raises(tmp_path, converted):
+    from pixsfm_tpu.features import detectors as det
+    with pytest.raises(FileNotFoundError, match="nope.png"):
+        det.match_loftr_dir(tmp_path, ["nope.png"],
+                            matcher_conf={"pretrained": None})
+
+
+def test_loftr_small_image_clamps_top_k(converted):
+    """Images whose coarse grid has fewer cells than max_matches must not
+    crash top_k (ADVICE round 2): k clamps to hc*wc."""
+    from pixsfm_tpu.features.models.loftr import LoFTR
+    m = LoFTR({"pretrained": None, "max_matches": 1024,
+               "match_threshold": 0.0})
+    img = np.random.default_rng(0).uniform(0, 1, (64, 64)).astype(np.float32)
+    mk0, mk1, conf, valid = m.match_pair(img, img)
+    assert len(mk0) == 64  # (64/8)^2 cells
+
+
+def test_loftr_conf_mutation_invalidates_jit_cache(converted):
+    """Changing match_threshold after a first call must not silently reuse
+    the stale compiled program for the same image shape (ADVICE round 2)."""
+    from pixsfm_tpu.features.models.loftr import LoFTR
+    m = LoFTR({"pretrained": None, "max_matches": 32,
+               "match_threshold": 0.0})
+    img = np.random.default_rng(1).uniform(0, 1, (64, 64)).astype(np.float32)
+    _, _, _, valid0 = m.match_pair(img, img)
+    m.conf.match_threshold = 2.0  # impossible threshold -> nothing matches
+    _, _, _, valid1 = m.match_pair(img, img)
+    assert valid0.sum() > 0 and valid1.sum() == 0
