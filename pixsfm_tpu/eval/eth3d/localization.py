@@ -92,7 +92,12 @@ def run_scene_localization(scene_dir: Path, output_dir: Path, conf=None,
     result = {"auc": aucs, "thresholds": list(thresholds),
               "median_error_m": float(np.median(
                   [e for e in errors if np.isfinite(e)] or [np.inf])),
-              "num_queries": len(queries)}
+              "num_queries": len(queries),
+              # per-query errors so plot_localization.py can draw the
+              # cumulative-recall curves (reference plot_localization.py
+              # reads per-query (dt, dR) from localization_results)
+              "queries": list(queries),
+              "errors_m": [e if np.isfinite(e) else None for e in errors]}
     output_dir.mkdir(parents=True, exist_ok=True)
     with open(output_dir / "results_localization.json", "w") as f:
         json.dump(result, f, indent=2)

@@ -10,41 +10,9 @@ import pytest
 from pixsfm_tpu.sfm.synthetic import synthetic_reconstruction
 
 
-def _render_scene(rec, image_dir, rng, patch=15):
-    """Stamp a unique random texture at every projection of each 3D point —
-    the same texture across views, so SIFT descriptors match."""
-    from pixsfm_tpu.localization.pnp import project_np
-
-    patterns = {pid: rng.integers(40, 255, (patch, patch))
-                for pid in rec.points3D}
-    h = patch // 2
-    for im in rec.images.values():
-        cam = rec.cameras[im.camera_id]
-        H, W = cam.height, cam.width
-        canvas = rng.integers(0, 25, (H, W)).astype(np.uint8)
-        pids = [pid for pid, p in rec.points3D.items()
-                if any(iid == im.image_id for iid, _ in p.track)]
-        if pids:
-            X = np.stack([rec.points3D[p].xyz for p in pids])
-            xy, z = project_np(cam, im.qvec, im.tvec, X)
-            for pid, (x, y), zz in zip(pids, xy, z):
-                if zz <= 0:
-                    continue
-                cx, cy = int(round(x)), int(round(y))
-                if h <= cx < W - h and h <= cy < H - h:
-                    canvas[cy - h:cy + h + 1, cx - h:cx + h + 1] = \
-                        patterns[pid]
-        PIL.Image.fromarray(canvas).save(image_dir / im.name)
-
-
-def _write_ply(path, pts):
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n"
-                f"element vertex {len(pts)}\n"
-                "property float x\nproperty float y\nproperty float z\n"
-                "end_header\n")
-        for p in pts:
-            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+# scene rendering shared with tools/eth3d_synth_matrix.py
+from pixsfm_tpu.eval.eth3d.synthetic import render_scene as _render_scene
+from pixsfm_tpu.eval.eth3d.synthetic import write_ply as _write_ply
 
 
 @pytest.mark.parametrize("seed", [5])

@@ -1,0 +1,91 @@
+"""Eval-surface tools: the synthetic ETH3D method-matrix runner
+(tools/eth3d_synth_matrix.py) and the localization plot/table module
+(eval/eth3d/plot_localization.py, reference plot_localization.py)."""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_matrix_tool():
+    spec = importlib.util.spec_from_file_location(
+        "eth3d_synth_matrix", REPO / "tools" / "eth3d_synth_matrix.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_matrix_tool_learned_method_row(tmp_path):
+    """One learned-detector row (random weights) through the REAL harness
+    entry points via the matrix tool: the row must record either executed
+    metrics or a structured error — never crash the matrix."""
+    pytest.importorskip("cv2")
+    mod = _load_matrix_tool()
+    scene = tmp_path / "scene"
+    mod.make_synthetic_scene(scene, n_images=3, n_points=30, seed=5,
+                             width=320, height=240)
+    row = mod.run_method("superpoint", scene, tmp_path / "out")
+    assert row["method"] == "superpoint"
+    assert "triangulation" in row and "localization" in row
+    tri = row["triangulation"]
+    assert isinstance(tri, dict)
+    # random weights may legitimately match nothing; the harness must still
+    # have executed (metrics dict) or failed structurally (error string)
+    assert ("num_points" in tri) or ("error" in tri), tri
+
+
+def test_matrix_tool_sift_row_quality(tmp_path):
+    """The SIFT row is the quality-meaningful one: it must produce actual
+    triangulation metrics on the synthetic scene."""
+    pytest.importorskip("cv2")
+    mod = _load_matrix_tool()
+    scene = tmp_path / "scene"
+    mod.make_synthetic_scene(scene, n_images=4, n_points=40, seed=5)
+    row = mod.run_method("sift", scene, tmp_path / "out")
+    tri = row["triangulation"]
+    assert "error" not in tri, tri
+    assert tri["num_points"] >= 10, tri
+    assert tri["accuracy"][2] > 40.0, tri
+    loc = row["localization"]
+    assert "error" not in loc, loc
+    assert loc["num_queries"] == 1
+    assert "errors_m" in loc and len(loc["errors_m"]) == 1
+
+
+def test_plot_localization_table_and_figure(tmp_path):
+    """collect/format/plot over synthetic per-scene result files in the
+    results_dir/<method>/<scene>/ layout."""
+    pytest.importorskip("matplotlib")
+    from pixsfm_tpu.eval.eth3d.plot_localization import (collect,
+                                                         format_results,
+                                                         plot_cumulative)
+
+    rng = np.random.default_rng(0)
+    thresholds = [0.001, 0.01, 0.1]
+    for method, scale in (("sift", 0.004), ("superpoint", 0.02)):
+        for scene in ("courtyard", "kicker"):
+            d = tmp_path / method / scene
+            d.mkdir(parents=True)
+            errs = np.abs(rng.normal(0, scale, 8)).tolist() + [None]
+            (d / "results_localization.json").write_text(json.dumps(
+                {"errors_m": errs, "thresholds": thresholds}))
+
+    errors, aucs = collect(tmp_path, ["."], ["sift", "superpoint"],
+                           thresholds)
+    assert set(errors) == {"sift", "superpoint"}
+    assert len(errors["sift"]["."]) == 18          # 2 scenes x 9 queries
+    table = format_results(aucs, thresholds)
+    assert "sift" in table and "superpoint" in table
+    # tighter errors -> higher AUC at every threshold
+    assert all(s >= p for s, p in
+               zip(aucs["."]["sift"], aucs["."]["superpoint"]))
+
+    out = tmp_path / "plot.png"
+    plot_cumulative(errors, thresholds, path=out)
+    assert out.exists() and out.stat().st_size > 0

@@ -1,0 +1,135 @@
+"""Run the FULL ETH3D method matrix end-to-end on a synthetic scene.
+
+The real ETH3D dataset is unreachable (zero egress), so this drives every
+method row of ``eval/eth3d/config.py`` (sift + superpoint/r2d2/d2net/loftr)
+through the *actual* harness entry points — ``triangulation.run_scene`` and
+``localization.run_scene_localization`` — on the synthetic ETH3D-layout
+scene, producing the accuracy/completeness and localization-AUC tables the
+reference publishes (reference pixsfm/eval/eth3d/config.py:30-137,
+triangulation.py, localization.py).
+
+Caveat recorded in the artifact: learned detectors run on RANDOM weights
+until their public checkpoints are dropped in (tools/fetch_checkpoints.py),
+so their rows validate end-to-end harness execution, not matching quality.
+SIFT is the only quality-meaningful row.
+
+Usage: python tools/eth3d_synth_matrix.py [--out ETH3D_SYNTH.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pixsfm_tpu.eval.eth3d.config import (EXTRA_METHODS, METHODS,  # noqa: E402
+                                          TRIANGULATION_TOLERANCES)
+from pixsfm_tpu.eval.eth3d.synthetic import make_synthetic_scene  # noqa: E402
+
+# tolerances scaled to the synthetic texture size (see
+# tests/test_eval_harness.py): SIFT corners sit ~7px from GT point centers.
+SYNTH_TOLERANCES = (0.05, 0.15, 0.3)
+SYNTH_LOC_THRESHOLDS = (0.05, 0.15, 0.5)
+
+
+def harness_conf():
+    return {
+        "dense_features": {"model": {"name": "image", "grayscale": True},
+                           "l2_normalize": False, "max_edge": 480,
+                           "patch_size": 8, "dtype": "float32"},
+        "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+        "mapping": {
+            "KA": {"strategy": "topological_reference",
+                   "optimizer": {"bound": 1.0,
+                                 "solver": {"max_num_iterations": 5}}},
+            "BA": {"strategy": "geometric",
+                   "optimizer": {"refine_focal_length": False,
+                                 "refine_extra_params": False,
+                                 "solver": {"max_num_iterations": 15,
+                                            "use_inner_iterations": False}}},
+        },
+    }
+
+
+def loc_conf():
+    conf = harness_conf()
+    conf.update({
+        "target_reference": "robust_mean",
+        "references": {"iters": 10, "keep_observations": True},
+        "QKA": {"apply": False},
+        "QBA": {"apply": True,
+                "interpolation": {"mode": "BICUBIC", "l2_normalize": False},
+                "optimizer": {"solver": {"max_num_iterations": 10}}},
+    })
+    return conf
+
+
+def run_method(method: str, scene: Path, out_root: Path) -> dict:
+    from pixsfm_tpu.eval.eth3d.localization import run_scene_localization
+    from pixsfm_tpu.eval.eth3d.triangulation import run_scene
+
+    row: dict = {"method": method}
+    out = out_root / method
+    out.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    try:
+        tri = run_scene(scene, out, conf=harness_conf(),
+                        tolerances=SYNTH_TOLERANCES, method=method)
+        row["triangulation"] = tri
+    except Exception as e:  # a random-weight front-end may match nothing
+        row["triangulation"] = {"error": f"{type(e).__name__}: {e}"}
+        traceback.print_exc()
+    row["triangulation_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    try:
+        loc = run_scene_localization(scene, out, conf=loc_conf(),
+                                     num_holdout=1,
+                                     thresholds=SYNTH_LOC_THRESHOLDS,
+                                     method=method)
+        row["localization"] = loc
+    except Exception as e:
+        row["localization"] = {"error": f"{type(e).__name__}: {e}"}
+        traceback.print_exc()
+    row["localization_s"] = round(time.time() - t0, 1)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=Path, default=REPO / "ETH3D_SYNTH.json")
+    ap.add_argument("--work_dir", type=Path, default=Path("/tmp/eth3d_synth"))
+    ap.add_argument("--methods", nargs="*",
+                    default=list(METHODS) + list(EXTRA_METHODS))
+    ap.add_argument("--n_images", type=int, default=5)
+    ap.add_argument("--n_points", type=int, default=50)
+    args = ap.parse_args()
+
+    scene = args.work_dir / "scene"
+    if not (scene / "scan_clean.ply").exists():
+        make_synthetic_scene(scene, n_images=args.n_images,
+                             n_points=args.n_points, seed=5)
+    rows = [run_method(m, scene, args.work_dir / "out")
+            for m in args.methods]
+
+    artifact = {
+        "note": ("synthetic ETH3D-layout scene (zero-egress stand-in); "
+                 "learned rows (superpoint/r2d2/d2net/loftr) executed with "
+                 "RANDOM weights — they validate harness execution, not "
+                 "matching quality. Real tolerances: "
+                 f"{TRIANGULATION_TOLERANCES} m; synthetic tolerances "
+                 f"{SYNTH_TOLERANCES} scene units (texture-size scaled)."),
+        "scene": {"n_images": args.n_images, "n_points": args.n_points},
+        "methods": rows,
+    }
+    args.out.write_text(json.dumps(artifact, indent=2))
+    print(json.dumps(artifact, indent=2))
+
+
+if __name__ == "__main__":
+    main()
