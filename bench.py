@@ -370,11 +370,9 @@ def bench_ba_featuremetric(I=20, Np=1000, ps=16, C=128):
     return _per_iter_ms(make_run, state0, obs, ctx)
 
 
-def bench_ba_large(I=200, Np=500_000, track=4):
-    """Large-scale geometric BA per-LM-iteration: 500k points / 2M
-    observations (track length 4) — the reference's 7k-image regime scale
-    axis (README.md:291). Exercises the point-major [Np, T] scatter-free
-    reductions (ops/schur.py make_point_major) + CG Schur."""
+def ba_large_problem(I=200, Np=500_000, track=4):
+    """Build the 2M-obs geometric BA problem (shared with
+    examples/profile_ba_large.py). Returns (rfn, jfn, state0, obs, args)."""
     import jax
     import jax.numpy as jnp
 
@@ -430,8 +428,22 @@ def bench_ba_large(I=200, Np=500_000, track=4):
         obs_data=jnp.asarray(xy), valid=jnp.ones((O,), bool),
         pair_o1=jnp.zeros(4, jnp.int32) + O,
         pair_o2=jnp.zeros(4, jnp.int32) + O)
-    loss = RobustLoss("trivial")
     args = _ba_gauge_args(I, Np, 4)
+    return rfn, jfn, state0, obs, args
+
+
+def bench_ba_large(I=200, Np=500_000, track=4):
+    """Large-scale geometric BA per-LM-iteration: 500k points / 2M
+    observations (track length 4) — the reference's 7k-image regime scale
+    axis (README.md:291). Exercises the point-major [Np, T] scatter-free
+    reductions (ops/schur.py make_point_major) + CG Schur."""
+    import jax
+
+    from pixsfm_tpu.base.losses import RobustLoss
+    from pixsfm_tpu.ops.schur import BAOptions, ba_solve
+
+    rfn, jfn, state0, obs, args = ba_large_problem(I, Np, track)
+    loss = RobustLoss("trivial")
 
     def make_run(iters):
         opts = BAOptions(max_iterations=iters, linear_solver="cg",

@@ -1098,7 +1098,7 @@ class QueryLocalizer:
         per query. This is the TPU-native serving path: dispatch overhead
         amortizes over the batch exactly like the KA problem batching
         (SURVEY.md §2.9)."""
-        from .pnp import absolute_pose_estimation
+        from .pnp import absolute_pose_estimation_batch
 
         require_feats = self.conf.QKA.apply or self.conf.QBA.apply
         results: List[Optional[Dict]] = [None] * len(queries)
@@ -1142,13 +1142,17 @@ class QueryLocalizer:
                     [(p["points2D"], p["fmaps"][level], p["refs"][level],
                       p["p2D"]) for p in prep])
 
-        # ---- PnP + unique inliers per query (host) -----------------------
+        # ---- PnP: ONE device-batched RANSAC program for the whole batch
+        # (pnp.absolute_pose_estimation_batch groups queries by camera
+        # model / size bucket — a single dispatch per group instead of a
+        # host RANSAC loop per query), then unique inliers per query (host)
         max_error = float(self.conf.PnP.estimation.ransac.max_error)
         survivors = []
-        for p in prep:
-            pose = absolute_pose_estimation(
-                p["points2D"], np.asarray(p["points3D"]), p["camera"],
-                max_error_px=max_error)
+        poses = absolute_pose_estimation_batch(
+            [dict(points2D=p["points2D"], points3D=np.asarray(p["points3D"]),
+                  camera=p["camera"]) for p in prep],
+            max_error_px=max_error)
+        for p, pose in zip(prep, poses):
             if not pose["success"]:
                 results[p["qi"]] = pose
                 continue

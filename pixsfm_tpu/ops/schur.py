@@ -39,6 +39,12 @@ from ..base.geometry import exp_quat, quat_mul, quat_normalize
 
 __all__ = ["BAOptions", "BAState", "BAObservations", "ba_solve"]
 
+# Profiling hook: when set to a dict (see examples/profile_ba_large.py),
+# ba_solve additionally exports its internal stage closures (eval_chunked /
+# schur_step / cost_at) so each LM-iteration stage can be compiled and timed
+# in isolation. None (the default) is zero-overhead — one trace-time check.
+_STAGE_EXPORT = None
+
 
 @dataclass(frozen=True)
 class BAOptions:
@@ -1170,6 +1176,11 @@ def ba_solve(residual_fn: Callable,
     # with full normal equations which become the next carry on acceptance).
     # Inner point iterations mutate xyz after acceptance, so there the system
     # is re-evaluated at the top of each iteration instead.
+    if _STAGE_EXPORT is not None:
+        _STAGE_EXPORT.update(
+            eval_chunked=eval_chunked, cost_at=cost_at,
+            mask_system=mask_system, schur_step=schur_step, state0=state0)
+
     carry_sys = not opts.use_inner_iterations
     if carry_sys:
         sys0 = mask_system(eval_chunked(state0, with_jac=True))

@@ -82,6 +82,69 @@ class TestPnP:
         assert out["num_inliers"] >= 0.9 * (len(xy) - n_out)
 
 
+class TestPnPDeviceVsHost:
+    """Differential: the jitted device-batched RANSAC (fixed hypothesis
+    count, in-program LO loop) vs the host-numpy f64 oracle
+    (_absolute_pose_estimation_host, adaptive termination)."""
+
+    def test_matches_host_oracle_with_outliers(self, rng):
+        from pixsfm_tpu.localization.pnp import (
+            _absolute_pose_estimation_host, project_np)
+
+        rec = synth(n_images=4, n_points=120, noise_px=0.3, seed=21)
+        for iid in (1, 2, 3):
+            im = rec.images[iid]
+            cam = rec.cameras[im.camera_id]
+            pids, xy = project_all(rec, im)
+            X = np.stack([rec.points3D[p].xyz for p in pids])
+            n_out = len(xy) // 3
+            xy2 = xy.copy()
+            xy2[:n_out] += rng.uniform(40, 150, size=(n_out, 2))
+            dev = absolute_pose_estimation(xy2, X, cam, max_error_px=6.0)
+            host = _absolute_pose_estimation_host(xy2, X, cam,
+                                                  max_error_px=6.0)
+            assert dev["success"] and host["success"]
+            np.testing.assert_allclose(dev["tvec"], host["tvec"], atol=2e-2)
+            dot = abs(np.dot(dev["qvec"], host["qvec"]))
+            assert dot > 1 - 1e-5, dot
+            # inlier sets agree up to boundary cases
+            agree = (dev["inliers"] == host["inliers"]).mean()
+            assert agree > 0.95, agree
+
+    def test_batch_parity_mixed_sizes(self, rng):
+        """absolute_pose_estimation_batch over queries of different n and
+        cameras == per-query single calls (same seed => same samples only
+        within a size bucket; compare each to ground truth instead)."""
+        from pixsfm_tpu.localization.pnp import absolute_pose_estimation_batch
+
+        rec = synth(n_images=6, n_points=90, noise_px=0.2, seed=22)
+        queries, truths = [], []
+        for iid, im in list(rec.images.items())[:5]:
+            cam = rec.cameras[im.camera_id]
+            pids, xy = project_all(rec, im)
+            keep = len(xy) - (iid % 3) * 11   # vary n across queries
+            X = np.stack([rec.points3D[p].xyz for p in pids])[:keep]
+            queries.append(dict(points2D=xy[:keep], points3D=X, camera=cam))
+            truths.append((im.qvec, im.tvec))
+        # one degenerate query (too few points) mixed in
+        queries.insert(2, dict(points2D=np.zeros((4, 2)),
+                               points3D=np.zeros((4, 3)),
+                               camera=rec.cameras[1]))
+        truths.insert(2, None)
+        outs = absolute_pose_estimation_batch(queries, max_error_px=6.0)
+        assert len(outs) == len(queries)
+        assert not outs[2]["success"]
+        for out, truth in zip(outs, truths):
+            if truth is None:
+                continue
+            q_true, t_true = truth
+            assert out["success"]
+            np.testing.assert_allclose(out["tvec"], t_true, atol=5e-2)
+            dot = abs(np.dot(out["qvec"],
+                             q_true / np.linalg.norm(q_true)))
+            assert dot > 1 - 1e-5, dot
+
+
 class TestQueryLocalizer:
     def test_localize_query(self, rng):
         rec, fset = featuremetric_scene(seed=13, n_images=5, n_points=60)
