@@ -486,6 +486,12 @@ class BundleAdjuster:
         ndev = int(mesh.devices.size) if mesh is not None else 1
         O = len(packed.obs_img)
         Np = len(packed.point_ids)
+        if O == 0 or Np == 0:
+            # nothing to optimize (e.g. an empty triangulation): no-op
+            # success, like the reference's SetUp over zero residual blocks
+            logger.info("BA: empty problem (no observations); skipping.")
+            return dict(initial_cost=0.0, final_cost=0.0, iterations=0,
+                        time=time.time() - t0)
         O_pad = bucket(O + 1)          # always >=1 padded obs slot (pair pad)
         if ndev > 1:                   # shardable obs axis
             O_pad = -(-O_pad // ndev) * ndev
@@ -717,6 +723,10 @@ class BundleAdjuster:
                 pair_arrays=None, src_idx=None) -> Dict:
         t0 = time.time()
         O = len(packed.obs_img)
+        if O == 0 or len(packed.point_ids) == 0:
+            logger.info("BA: empty problem (no observations); skipping.")
+            return dict(initial_cost=0.0, final_cost=0.0, iterations=0,
+                        time=time.time() - t0)
         if pair_arrays is None:
             pair_arrays = make_pair_list(packed.obs_pt, len(packed.point_ids))
         obs = BAObservations(

@@ -77,6 +77,8 @@ def find_problem_labels(track_labels: Sequence[int], max_per_problem: int,
     """First-fit-decreasing bin packing of tracks into problems
     (reference: ka/main.py:13-57). Returns per-node problem labels and bin sizes."""
     track_labels = list(track_labels)
+    if len(track_labels) == 0 and track_edge_counts is None:
+        return [], []
     if track_edge_counts is None:
         track_count = Counter(track_labels)
     else:
@@ -221,6 +223,14 @@ class KeypointAdjuster:
              root_edges_only, problem_setup) -> dict:
         t0 = time.time()
         labels = np.asarray(problem_labels)
+        if graph.num_nodes == 0 or not (labels >= 0).any():
+            # empty match graph (e.g. a detector that found no keypoints):
+            # nothing to adjust — succeed as a no-op like the reference's
+            # ParallelOptimizer over zero subsets
+            logger.info("KA: empty problem (no adjustable keypoints); "
+                        "skipping.")
+            return dict(initial_cost=0.0, final_cost=0.0, num_problems=0,
+                        time=time.time() - t0)
         view = FeatureView.from_graph(feature_set, graph,
                                       np.nonzero(labels >= 0)[0],
                                       keypoints=keypoints_dict)
@@ -378,6 +388,14 @@ class TopologicalReferenceKeypointAdjuster(KeypointAdjuster):
         w[w == 0] = max(rrw, 0.0)
         keep = w > 0
         nodes, w = nodes[keep], w[keep]
+
+        if len(nodes) == 0:
+            # empty graph / no non-root nodes with a root to pull toward
+            # (e.g. a detector that found no keypoints): no-op success
+            logger.info("KA (topological_reference): empty problem; "
+                        "skipping.")
+            return dict(initial_cost=0.0, final_cost=0.0, num_problems=0,
+                        time=time.time() - t0)
 
         view = FeatureView.from_graph(
             feature_set, graph,
