@@ -517,7 +517,11 @@ def bench_loftr(H=480, W=640, reps=10):
     img1 = jnp.asarray(rng.uniform(0, 1, (H, W)), jnp.float32)
     m.match_pair(np.zeros((H, W), np.float32),
                  np.zeros((H, W), np.float32))  # compile
-    fn = m._jit_match[((H, W), (H, W))]
+    # grab the compiled program the call above just cached, without
+    # reconstructing the cache-key format (round 3 broke this bench by
+    # hardcoding a stale key shape after loftr.py:357 extended it)
+    assert len(m._jit_match) == 1, list(m._jit_match)
+    fn = next(iter(m._jit_match.values()))
     _sync(fn(m.variables, img0, img1))
     best = None
     for _ in range(3):
@@ -688,6 +692,14 @@ def main():
         out["qloc_batch8_queries_per_s"] = None
 
     print(json.dumps(out))
+
+    # null-proofing: a broken sub-bench must fail the run loudly, not ship
+    # a silent null (round 3 shipped loftr_pairs_per_s_480x640=null for a
+    # whole round because the catch-all above masked a KeyError)
+    nulls = [k for k, v in out.items() if v is None]
+    if nulls:
+        print(f"[bench] FAILED metrics: {nulls}", file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -105,10 +105,17 @@ def collect(results_dir: Path, tags: List[str], methods: List[str],
         for tag in tags:
             base = results_dir / tag if tag != "." else results_dir
             errs: List[float] = []
-            for res in sorted(base.glob(f"**/{method}/**/"
-                                        "results_localization.json")) or \
-                    sorted((base / method).glob(
-                        "**/results_localization.json")):
+            # bounded to the documented layout (tag/method/scene/...json,
+            # scene level optional) and deduplicated — an unanchored **
+            # glob merged nested tags into one series and could double-count
+            # a results file whose path repeats the method name
+            paths = {p.resolve()
+                     for p in (base / method).glob(
+                         "results_localization.json")} | \
+                    {p.resolve()
+                     for p in (base / method).glob(
+                         "*/results_localization.json")}
+            for res in sorted(paths):
                 data = json.loads(res.read_text())
                 errs.extend(np.inf if e is None else e
                             for e in data.get("errors_m", []))

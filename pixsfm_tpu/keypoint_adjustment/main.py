@@ -77,7 +77,7 @@ def find_problem_labels(track_labels: Sequence[int], max_per_problem: int,
     """First-fit-decreasing bin packing of tracks into problems
     (reference: ka/main.py:13-57). Returns per-node problem labels and bin sizes."""
     track_labels = list(track_labels)
-    if len(track_labels) == 0 and track_edge_counts is None:
+    if len(track_labels) == 0 and not track_edge_counts:
         return [], []
     if track_edge_counts is None:
         track_count = Counter(track_labels)

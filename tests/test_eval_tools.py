@@ -30,14 +30,21 @@ def test_matrix_tool_learned_method_row(tmp_path):
     scene = tmp_path / "scene"
     mod.make_synthetic_scene(scene, n_images=3, n_points=30, seed=5,
                              width=320, height=240)
-    row = mod.run_method("superpoint", scene, tmp_path / "out")
+    row = mod.run_method("superpoint", scene, tmp_path / "out",
+                         num_holdout=1)
     assert row["method"] == "superpoint"
-    assert "triangulation" in row and "localization" in row
-    tri = row["triangulation"]
-    assert isinstance(tri, dict)
-    # random weights may legitimately match nothing; the harness must still
-    # have executed (metrics dict) or failed structurally (error string)
-    assert ("num_points" in tri) or ("error" in tri), tri
+    assert "raw" in row and "refined" in row and "vacuous" in row
+    for arm in ("raw", "refined"):
+        tri = row[arm]["triangulation"]
+        assert isinstance(tri, dict)
+        # random weights may legitimately match nothing; the harness must
+        # still have executed (metrics dict) or failed structurally (error)
+        assert ("num_points" in tri) or ("error" in tri), tri
+    # a random-weight row that triangulates nothing must be FLAGGED, never
+    # silently counted as coverage (round-3 verdict weak #5)
+    npts = row["refined"]["triangulation"].get("num_points", 0) or 0
+    if npts == 0:
+        assert row["vacuous"] is True
 
 
 def test_matrix_tool_sift_row_quality(tmp_path):
@@ -47,15 +54,20 @@ def test_matrix_tool_sift_row_quality(tmp_path):
     mod = _load_matrix_tool()
     scene = tmp_path / "scene"
     mod.make_synthetic_scene(scene, n_images=4, n_points=40, seed=5)
-    row = mod.run_method("sift", scene, tmp_path / "out")
-    tri = row["triangulation"]
-    assert "error" not in tri, tri
-    assert tri["num_points"] >= 10, tri
-    assert tri["accuracy"][2] > 40.0, tri
-    loc = row["localization"]
-    assert "error" not in loc, loc
-    assert loc["num_queries"] == 1
-    assert "errors_m" in loc and len(loc["errors_m"]) == 1
+    row = mod.run_method("sift", scene, tmp_path / "out", num_holdout=2)
+    assert row["vacuous"] is False
+    for arm in ("raw", "refined"):
+        tri = row[arm]["triangulation"]
+        assert "error" not in tri, tri
+        assert tri["num_points"] >= 10, tri
+        assert tri["accuracy"][2] > 40.0, tri
+        loc = row[arm]["localization"]
+        assert "error" not in loc, loc
+        assert loc["num_queries"] == 2
+        assert "errors_m" in loc and len(loc["errors_m"]) == 2
+    # the raw->refined delta table exists (the reference's headline)
+    assert row["accuracy_delta"] is not None
+    assert len(row["accuracy_delta"]) == 3
 
 
 def test_plot_localization_table_and_figure(tmp_path):

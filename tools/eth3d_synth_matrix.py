@@ -70,33 +70,84 @@ def loc_conf():
     return conf
 
 
-def run_method(method: str, scene: Path, out_root: Path) -> dict:
+def raw_conf():
+    """Norefine control arm: same pipeline with KA/BA switched off — the
+    reference publishes every method as a raw→pixsfm pair
+    (reference README.md:337-356), so the matrix must measure the DELTA,
+    not just the refined arm."""
+    conf = harness_conf()
+    conf["mapping"]["KA"] = {"apply": False}
+    conf["mapping"]["BA"] = {"apply": False}
+    return conf
+
+
+def raw_loc_conf():
+    conf = loc_conf()
+    conf["mapping"]["KA"] = {"apply": False}
+    conf["mapping"]["BA"] = {"apply": False}
+    conf["QKA"] = {"apply": False}
+    conf["QBA"] = {"apply": False}
+    return conf
+
+
+def _is_vacuous(arm: dict) -> bool:
+    """A row that errored or triangulated zero points asserts nothing about
+    refinement quality — flag it so it cannot be mistaken for coverage."""
+    if "error" in arm:
+        return True
+    tri = arm.get("triangulation") or {}
+    if "error" in tri:
+        return True
+    return int(tri.get("num_points", 0) or 0) == 0
+
+
+def run_method(method: str, scene: Path, out_root: Path,
+               num_holdout: int = 3) -> dict:
     from pixsfm_tpu.eval.eth3d.localization import run_scene_localization
     from pixsfm_tpu.eval.eth3d.triangulation import run_scene
 
     row: dict = {"method": method}
-    out = out_root / method
-    out.mkdir(parents=True, exist_ok=True)
-    t0 = time.time()
+    for arm_name, tri_conf, l_conf in (
+            ("raw", raw_conf(), raw_loc_conf()),
+            ("refined", harness_conf(), loc_conf())):
+        arm: dict = {}
+        out = out_root / method / arm_name
+        out.mkdir(parents=True, exist_ok=True)
+        t0 = time.time()
+        try:
+            tri = run_scene(scene, out, conf=tri_conf,
+                            tolerances=SYNTH_TOLERANCES, method=method)
+            arm["triangulation"] = tri
+        except Exception as e:  # a random-weight front-end may match nothing
+            arm["triangulation"] = {"error": f"{type(e).__name__}: {e}"}
+            traceback.print_exc()
+        arm["triangulation_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        try:
+            loc = run_scene_localization(scene, out, conf=l_conf,
+                                         num_holdout=num_holdout,
+                                         thresholds=SYNTH_LOC_THRESHOLDS,
+                                         method=method)
+            arm["localization"] = loc
+        except Exception as e:
+            arm["localization"] = {"error": f"{type(e).__name__}: {e}"}
+            traceback.print_exc()
+        arm["localization_s"] = round(time.time() - t0, 1)
+        row[arm_name] = arm
+    row["vacuous"] = _is_vacuous(row["raw"]) or _is_vacuous(row["refined"])
+    # raw→refined accuracy delta (the reference's headline quantity)
     try:
-        tri = run_scene(scene, out, conf=harness_conf(),
-                        tolerances=SYNTH_TOLERANCES, method=method)
-        row["triangulation"] = tri
-    except Exception as e:  # a random-weight front-end may match nothing
-        row["triangulation"] = {"error": f"{type(e).__name__}: {e}"}
-        traceback.print_exc()
-    row["triangulation_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
+        ra = row["raw"]["triangulation"]["accuracy"]
+        fa = row["refined"]["triangulation"]["accuracy"]
+        row["accuracy_delta"] = [round(f - r, 2) for r, f in zip(ra, fa)]
+    except (KeyError, TypeError):
+        row["accuracy_delta"] = None
     try:
-        loc = run_scene_localization(scene, out, conf=loc_conf(),
-                                     num_holdout=1,
-                                     thresholds=SYNTH_LOC_THRESHOLDS,
-                                     method=method)
-        row["localization"] = loc
-    except Exception as e:
-        row["localization"] = {"error": f"{type(e).__name__}: {e}"}
-        traceback.print_exc()
-    row["localization_s"] = round(time.time() - t0, 1)
+        rl = row["raw"]["localization"]["auc"]
+        fl = row["refined"]["localization"]["auc"]
+        row["auc_delta"] = [round(f - r, 2) for r, f in zip(rl, fl)]
+    except (KeyError, TypeError):
+        row["auc_delta"] = None
     return row
 
 
@@ -106,29 +157,40 @@ def main():
     ap.add_argument("--work_dir", type=Path, default=Path("/tmp/eth3d_synth"))
     ap.add_argument("--methods", nargs="*",
                     default=list(METHODS) + list(EXTRA_METHODS))
-    ap.add_argument("--n_images", type=int, default=5)
+    ap.add_argument("--n_images", type=int, default=8)
     ap.add_argument("--n_points", type=int, default=50)
+    ap.add_argument("--num_holdout", type=int, default=3)
     args = ap.parse_args()
 
     scene = args.work_dir / "scene"
     if not (scene / "scan_clean.ply").exists():
         make_synthetic_scene(scene, n_images=args.n_images,
                              n_points=args.n_points, seed=5)
-    rows = [run_method(m, scene, args.work_dir / "out")
+    rows = [run_method(m, scene, args.work_dir / "out",
+                       num_holdout=args.num_holdout)
             for m in args.methods]
 
     artifact = {
         "note": ("synthetic ETH3D-layout scene (zero-egress stand-in); "
                  "learned rows (superpoint/r2d2/d2net/loftr) executed with "
                  "RANDOM weights — they validate harness execution, not "
-                 "matching quality. Real tolerances: "
-                 f"{TRIANGULATION_TOLERANCES} m; synthetic tolerances "
-                 f"{SYNTH_TOLERANCES} scene units (texture-size scaled)."),
-        "scene": {"n_images": args.n_images, "n_points": args.n_points},
+                 "matching quality (flagged vacuous when either arm "
+                 "triangulates 0 points). Each method runs a raw (norefine) "
+                 "control and a refined arm; *_delta = refined - raw, the "
+                 "reference's headline quantity (README.md:337-356). Real "
+                 f"tolerances: {TRIANGULATION_TOLERANCES} m; synthetic "
+                 f"tolerances {SYNTH_TOLERANCES} scene units "
+                 "(texture-size scaled)."),
+        "scene": {"n_images": args.n_images, "n_points": args.n_points,
+                  "num_holdout": args.num_holdout},
         "methods": rows,
     }
     args.out.write_text(json.dumps(artifact, indent=2))
     print(json.dumps(artifact, indent=2))
+    for row in rows:
+        flag = " [VACUOUS]" if row.get("vacuous") else ""
+        print(f"{row['method']:12s} acc_delta={row['accuracy_delta']} "
+              f"auc_delta={row['auc_delta']}{flag}", file=sys.stderr)
 
 
 if __name__ == "__main__":
