@@ -334,7 +334,8 @@ class QueryKeypointAdjuster:
         return summary
 
     def refine_batch(self, items: List[Tuple[np.ndarray, FeatureMap, List,
-                                             Sequence[int]]]) -> Dict:
+                                             Sequence[int]]],
+                     mesh=None) -> Dict:
         """Refine several queries' keypoints in ONE batched program.
 
         ``items``: (keypoints, query_fmap, references, point2D_idxs) per
@@ -342,7 +343,8 @@ class QueryKeypointAdjuster:
         fixed-target problems concatenate along the problem axis (the
         batched solver is shape-oblivious); patch stacks concatenate with
         row offsets. One device dispatch serves the whole batch — the
-        serving-path analogue of the KA chunk batching."""
+        serving-path analogue of the KA chunk batching. ``mesh``: shard the
+        problem axis over the device mesh (serving fan-out)."""
         from ..keypoint_adjustment.solver import solve_target_problems
 
         interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
@@ -381,7 +383,7 @@ class QueryKeypointAdjuster:
             np.concatenate([padT(b[6], b[6].shape[1]) for b in built]),
             np.concatenate([b[7] for b in built]),
             np.concatenate([b[8] for b in built]),
-            np.concatenate(patch_parts), interp, loss, lm_opts)
+            np.concatenate(patch_parts), interp, loss, lm_opts, mesh=mesh)
         start = 0
         for b, (kps, *_rest) in zip(built, items):
             n = b[0].shape[0]
@@ -695,7 +697,7 @@ class QueryBundleAdjuster:
         return (patches, rows, corners[rows], scales[rows], ups[rows], X,
                 targets, tw)
 
-    def refine_batch(self, items: List[Dict]) -> List[Dict]:
+    def refine_batch(self, items: List[Dict], mesh=None) -> List[Dict]:
         """Refine several query poses in ONE batched program (vmap over the
         query axis with a shared concatenated patch stack).
 
@@ -704,7 +706,8 @@ class QueryBundleAdjuster:
         All queries must share the camera MODEL (group by model upstream);
         intrinsics values stay per-query. Returns one result dict per query
         (same fields as :meth:`refine`); per-query skip conditions fall back
-        to the single-query path."""
+        to the single-query path. ``mesh``: shard the query axis over the
+        device mesh (serving fan-out; patches replicated)."""
         interp = InterpolationConfig.from_conf(self.conf.get("interpolation"))
         opt = self.conf.optimizer
         loss = make_loss(opt.get("loss"))
@@ -742,6 +745,8 @@ class QueryBundleAdjuster:
         cam_mask = self._cam_mask(prepared[0][1]["camera"])
         k = len(prepared[0][1]["camera"].params)
         Q = len(prepared)
+        ndev = int(mesh.devices.size) if mesh is not None else 1
+        Qp = Q if ndev <= 1 else -(-Q // ndev) * ndev   # mesh-divisible pad
         N = _pow2(max(len(a[1]) for _, _, a in prepared))
         T = max(a[6].shape[1] for _, _, a in prepared)
         C = prepared[0][2][6].shape[2]
@@ -760,16 +765,18 @@ class QueryBundleAdjuster:
                                        + patches_all.shape[1:],
                                        patches_all.dtype)])
 
-        rows_b = np.zeros((Q, N), np.int64)
-        corner_b = np.zeros((Q, N, 2), np.float32)
-        scale_b = np.ones((Q, N, 2), np.float32)
-        up_b = np.ones((Q, N), np.float32)
-        X_b = np.zeros((Q, N, 3), np.float32)
-        tgt_b = np.zeros((Q, N, T, C), np.float32)
-        tw_b = np.zeros((Q, N, T), np.float32)
-        q0 = np.zeros((Q, 4), np.float32)
-        t0 = np.zeros((Q, 3), np.float32)
-        cams = np.zeros((Q, k), np.float32)
+        rows_b = np.zeros((Qp, N), np.int64)
+        corner_b = np.zeros((Qp, N, 2), np.float32)
+        scale_b = np.ones((Qp, N, 2), np.float32)
+        up_b = np.ones((Qp, N), np.float32)
+        X_b = np.zeros((Qp, N, 3), np.float32)
+        X_b[..., 2] = 10.0
+        tgt_b = np.zeros((Qp, N, T, C), np.float32)
+        tw_b = np.zeros((Qp, N, T), np.float32)
+        q0 = np.zeros((Qp, 4), np.float32)
+        q0[:, 0] = 1.0                       # pad rows: identity quats
+        t0 = np.zeros((Qp, 3), np.float32)
+        cams = np.ones((Qp, k), np.float32)  # pad rows: unit-focal dummies
         for j, (qi, it, a) in enumerate(prepared):
             (patches, rows, corner, scale, up, X, targets, tw) = a
             n = len(rows)
@@ -788,12 +795,25 @@ class QueryBundleAdjuster:
             prepared[0][1]["camera"].model,
             (interp.mode, interp.l2_normalize, interp.ncc_normalize),
             (loss.name, tuple(loss.params)), max_iters, k)
+        if ndev > 1:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            _sh = NamedSharding(mesh, _P(mesh.axis_names[0]))
+            _rp = NamedSharding(mesh, _P())
+
+            def _q(a):                       # query-axis sharded
+                return jax.device_put(np.asarray(a), _sh)
+
+            def _r(a):                       # replicated
+                return jax.device_put(np.asarray(a), _rp)
+        else:
+            _q = _r = jnp.asarray
         q, t, c, c0, c1 = run(
-            jnp.asarray(q0), jnp.asarray(t0), jnp.asarray(cams),
-            jnp.asarray(cam_mask), jnp.asarray(patches_all),
-            jnp.asarray(rows_b), jnp.asarray(corner_b), jnp.asarray(scale_b),
-            jnp.asarray(up_b), jnp.asarray(X_b), jnp.asarray(tgt_b),
-            jnp.asarray(tw_b))
+            _q(q0), _q(t0), _q(cams),
+            _r(cam_mask), _r(patches_all),
+            _q(rows_b), _q(corner_b), _q(scale_b),
+            _q(up_b), _q(X_b), _q(tgt_b),
+            _q(tw_b))
         q, t, c = np.asarray(q), np.asarray(t), np.asarray(c)
         c0, c1 = np.asarray(c0), np.asarray(c1)
         for j, (qi, it, _a) in enumerate(prepared):
@@ -904,7 +924,25 @@ class QueryLocalizer:
         "PnP": {"estimation": {"ransac": {"max_error": 12}},
                 "refinement": {}},
         "QBA": QueryBundleAdjuster.default_conf,
+        # multi-chip serving: shard the query batch of localize_batch (QKA
+        # problems, RANSAC PnP hypotheses, QBA poses) over the local device
+        # mesh — the TPU analogue of the reference's per-query thread pool
+        # (parallel_optimizer.h:70-216). n_devices=None uses every device.
+        "parallel": {"enabled": False, "n_devices": None},
     }
+
+    def _parallel_mesh(self):
+        """Device mesh when ``parallel.enabled`` and >1 device is available
+        (else None) — same knob semantics as BundleAdjuster._parallel_mesh."""
+        par = self.conf.get("parallel") or {}
+        if not par.get("enabled"):
+            return None
+        n = par.get("n_devices") or len(jax.devices())
+        n = min(int(n), len(jax.devices()))
+        if n <= 1:
+            return None
+        from ..parallel import make_mesh
+        return make_mesh(n)
 
     def __init__(self, reconstruction: Reconstruction, conf=None,
                  dense_features=None, image_dir=None, references=None,
@@ -1006,7 +1044,7 @@ class QueryLocalizer:
     def localize(self, keypoints: np.ndarray, pnp_point2D_idxs,
                  pnp_points3D_id, query_camera: Camera, image_path=None,
                  query_fmaps=None) -> Dict:
-        from .pnp import absolute_pose_estimation
+        from .pnp import absolute_pose_estimation_batch
 
         if len(pnp_point2D_idxs) == 0:
             return {"success": False}
@@ -1048,9 +1086,13 @@ class QueryLocalizer:
         logger.info("Running PnP with %d correspondences.",
                     len(pnp_points2D))
         max_error = float(self.conf.PnP.estimation.ransac.max_error)
-        pose_dict = absolute_pose_estimation(
-            pnp_points2D, np.asarray(pnp_points3D), query_camera,
-            max_error_px=max_error)
+        # the f64 host polish is redundant (and costs serving latency) when
+        # QBA refines the pose right after PnP on the same inlier set
+        pose_dict = absolute_pose_estimation_batch(
+            [dict(points2D=pnp_points2D,
+                  points3D=np.asarray(pnp_points3D), camera=query_camera)],
+            max_error_px=max_error,
+            polish=not self.conf.QBA.apply)[0]
         if not pose_dict["success"]:
             return pose_dict
 
@@ -1100,6 +1142,7 @@ class QueryLocalizer:
         (SURVEY.md §2.9)."""
         from .pnp import absolute_pose_estimation_batch
 
+        mesh = self._parallel_mesh()
         require_feats = self.conf.QKA.apply or self.conf.QBA.apply
         results: List[Optional[Dict]] = [None] * len(queries)
         prep: List[Dict] = []
@@ -1140,7 +1183,7 @@ class QueryLocalizer:
             for level in levels:
                 self.qka.refine_batch(
                     [(p["points2D"], p["fmaps"][level], p["refs"][level],
-                      p["p2D"]) for p in prep])
+                      p["p2D"]) for p in prep], mesh=mesh)
 
         # ---- PnP: ONE device-batched RANSAC program for the whole batch
         # (pnp.absolute_pose_estimation_batch groups queries by camera
@@ -1151,7 +1194,8 @@ class QueryLocalizer:
         poses = absolute_pose_estimation_batch(
             [dict(points2D=p["points2D"], points3D=np.asarray(p["points3D"]),
                   camera=p["camera"]) for p in prep],
-            max_error_px=max_error)
+            max_error_px=max_error,
+            polish=not self.conf.QBA.apply, mesh=mesh)
         for p, pose in zip(prep, poses):
             if not pose["success"]:
                 results[p["qi"]] = pose
@@ -1185,7 +1229,7 @@ class QueryLocalizer:
                              query_fmap=p["fmaps"][level],
                              references=p["refs"][level],
                              inliers=p["inliers"], point2D_idxs=p["p2D"])
-                        for p in group])
+                        for p in group], mesh=mesh)
                     for p, out in zip(group, outs):
                         if out.get("skipped"):
                             continue
