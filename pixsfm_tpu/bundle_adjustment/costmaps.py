@@ -215,6 +215,24 @@ def costmap_ba(adjuster, reconstruction: Reconstruction,
 
     from ..util.jit_cache import interp_static_key
 
+    if adjuster._parallel_mesh() is not None:
+        # multi-chip payload layout: each observation carries its own cost
+        # patch in obs_data so the costmap payload shards over the mesh with
+        # the observations (each chip's HBM holds only its shard) — same
+        # layout as feature_reference_window
+        windows = np.asarray(pf.patches)[rows].astype(np.float32)
+        obs_data = (windows,
+                    pf.corners[rows].astype(np.float32),
+                    pf.scales[rows].astype(np.float32),
+                    pf.upsampling[rows].astype(np.float32))
+        if mixed:
+            obs_data = obs_data + (
+                packed.cam_model_idx[packed.obs_cam].astype(np.int32),)
+        return adjuster._run_ba_cached(
+            reconstruction, packed,
+            ("costmap_window", model, interp_static_key(interp_cm)),
+            obs_data, (), loss, opts, obs_valid=obs_valid)
+
     ctx = (jnp.asarray(pf.patches),
            jnp.asarray(pf.corners.astype(np.float32)),
            jnp.asarray(pf.scales.astype(np.float32)),

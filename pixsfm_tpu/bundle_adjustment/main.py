@@ -188,11 +188,48 @@ def _build_feature_reference_window(model, interp_key):
     return residual_fn
 
 
+def _build_costmap_window(model, interp_key):
+    """Costmap residual with the cost patch travelling per observation in
+    ``obs_data`` (multi-chip payload layout — see
+    _build_feature_reference_window)."""
+    from ..util.jit_cache import interp_from_key
+    interp = interp_from_key(interp_key)
+    mixed = _is_mixed(model)
+    if isinstance(model, tuple) and not mixed:
+        model = model[0]
+
+    def residual_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        if mixed:
+            window, corner, scale, ups, mi = obs_slice
+            xy = _switch_project(model, mi, cam, qvec, tvec, X)
+        else:
+            window, corner, scale, ups = obs_slice
+            xy = _safe_project(model, cam, qvec, tvec, X)
+        pc = (xy * scale - 0.5 - corner) * ups
+        from ..base.interpolation import (bounds_violation,
+                                          interpolate_residual)
+        r = interpolate_residual(window[None], 0, pc[1], pc[0], interp)
+        if interp.check_bounds:
+            viol = bounds_violation(pc[1], pc[0], window.shape[0],
+                                    window.shape[1])
+            r = jnp.concatenate([r, viol[None]])
+        return r
+    return residual_fn
+
+
+def _build_patch_warp(model, interp_key, joint):
+    # lazy import: the warp residual lives beside its strategy
+    from .patch_warp import build_patch_warp_residual
+    return build_patch_warp_residual(model, interp_key, joint)
+
+
 _RESIDUAL_BUILDERS = {
     "geometric": _build_geometric,
     "feature_reference": _build_feature_reference,
     "feature_reference_window": _build_feature_reference_window,
     "costmap": _build_costmap,
+    "costmap_window": _build_costmap_window,
+    "patch_warp": _build_patch_warp,
 }
 
 
@@ -364,11 +401,36 @@ def _build_feature_reference_window_jac(model, interp_key):
     return residual_jac_fn
 
 
+def _build_costmap_window_jac(model, interp_key):
+    from ..util.jit_cache import interp_from_key
+    from ..base.projection import project_with_jac
+    interp = interp_from_key(interp_key)
+    if interp.ncc_normalize:
+        return None
+    mixed = _is_mixed(model)
+    if isinstance(model, tuple) and not mixed:
+        model = model[0]
+
+    def residual_jac_fn(qvec, tvec, cam, X, obs_slice, ctx):
+        if mixed:
+            window, corner, scale, ups, mi = obs_slice
+            pix, Jpix = _switch_project_with_jac(model, mi, cam, qvec, tvec,
+                                                 X)
+        else:
+            window, corner, scale, ups = obs_slice
+            pix, Jp, Jc, Jx = project_with_jac(model, cam, qvec, tvec, X)
+            Jpix = _jac_cat(Jp, Jc, Jx)
+        return _interp_residual_jac(interp, window[None], 0, pix, Jpix,
+                                    scale, ups, corner)
+    return residual_jac_fn
+
+
 _RESIDUAL_JAC_BUILDERS = {
     "geometric": _build_geometric_jac,
     "feature_reference": _build_feature_reference_jac,
     "feature_reference_window": _build_feature_reference_window_jac,
     "costmap": _build_costmap_jac,
+    "costmap_window": _build_costmap_window_jac,
 }
 
 from functools import lru_cache
@@ -477,8 +539,12 @@ class BundleAdjuster:
 
     def _run_ba_cached(self, reconstruction: Reconstruction,
                        packed: PackedBA, residual_key, obs_data, ctx,
-                       loss, opts: BAOptions, obs_valid=None) -> Dict:
-        """Run BA through the cached compiled program with bucket padding."""
+                       loss, opts: BAOptions, obs_valid=None,
+                       src_idx=None) -> Dict:
+        """Run BA through the cached compiled program with bucket padding.
+
+        ``src_idx``: optional per-observation second pose block (patch-warp
+        joint source poses — ops/schur BAObservations.src_idx)."""
         from ..util.jit_cache import bucket
 
         t0 = time.time()
@@ -541,7 +607,8 @@ class BundleAdjuster:
         T_b = max(1 << int(np.ceil(np.log2(max(T_max, 1)))), 4)
         large_pts = Np_pad * opts.obs_chunk > _ONEHOT_BUDGET
         O_grid = Np_pad * T_b
-        if (ndev == 1 and opts.linear_solver == "cg" and large_pts
+        if (ndev == 1 and src_idx is None and opts.linear_solver == "cg"
+                and large_pts
                 and O_grid <= 2 * O_pad and O_grid % opts.obs_chunk == 0):
             import dataclasses
             order = np.argsort(packed.obs_pt, kind="stable")
@@ -557,7 +624,8 @@ class BundleAdjuster:
             grid_valid[slot] = real_valid[order]
             opts = dataclasses.replace(opts, obs_grid_T=T_b)
             O_pad = O_grid
-        elif ndev == 1 and large_pts and Np_pad * T_b <= 4 * O_pad:
+        elif ndev == 1 and src_idx is None and large_pts \
+                and Np_pad * T_b <= 4 * O_pad:
             pt_slot = jnp.asarray(
                 make_point_major(packed.obs_pt, Np_pad, O_pad))
         # image axis: the CG matvec reduces over the FULL observation axis,
@@ -595,7 +663,9 @@ class BundleAdjuster:
                 lambda a: jnp.asarray(prep(a)), obs_data),
             valid=jnp.asarray(valid),
             pair_o1=jnp.asarray(pair_o1), pair_o2=jnp.asarray(pair_o2),
-            pt_slot=pt_slot, img_slot=img_slot)
+            pt_slot=pt_slot, img_slot=img_slot,
+            src_idx=None if src_idx is None
+            else jnp.asarray(prep(np.asarray(src_idx, np.int32))))
         xyz = pad_to(packed.xyz, Np_pad).astype(np.float32)
         xyz[Np:] = [0.0, 0.0, 10.0]  # padded points safely in front
         state0 = BAState(jnp.asarray(packed.qvec), jnp.asarray(packed.tvec),
@@ -619,7 +689,9 @@ class BundleAdjuster:
                 pt_idx=_put_s(obs.pt_idx),
                 obs_data=jax.tree_util.tree_map(_put_s, obs.obs_data),
                 valid=_put_s(obs.valid),
-                pair_o1=_put_s(obs.pair_o1), pair_o2=_put_s(obs.pair_o2))
+                pair_o1=_put_s(obs.pair_o1), pair_o2=_put_s(obs.pair_o2),
+                src_idx=None if obs.src_idx is None
+                else _put_s(obs.src_idx))
             state0 = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, _repl), state0)
             ctx = jax.tree_util.tree_map(

@@ -551,13 +551,29 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
                           target_w, lower, upper, packed_patches,
                           interp: InterpolationConfig, loss: RobustLoss,
                           lm_opts: LMOptions, chunk: int = 8192,
-                          free_mask: Optional[np.ndarray] = None):
-    """Batched fixed-target LM over P independent keypoints. Returns (kp, summary)."""
+                          free_mask: Optional[np.ndarray] = None,
+                          mesh=None):
+    """Batched fixed-target LM over P independent keypoints. Returns
+    (kp, summary). ``mesh`` (jax.sharding.Mesh): shard the problem axis of
+    each chunk over the device mesh (fixed-target problems are independent
+    — the QKA serving fan-out); patches are replicated."""
     P = kp0.shape[0]
-    all_patches = jnp.asarray(packed_patches)
+    ndev = int(mesh.devices.size) if mesh is not None else 1
+    _shard = _repl = None
+    if ndev > 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+        _shard = NamedSharding(mesh, _P(mesh.axis_names[0]))
+        _repl = NamedSharding(mesh, _P())
+    all_patches = jnp.asarray(packed_patches) if _repl is None \
+        else jax.device_put(np.asarray(packed_patches), _repl)
     run_chunk_c = _compiled_target_chunk(
         _interp_key(interp), (loss.name, tuple(loss.params), loss.scale),
         lm_opts)
+
+    def _put(a):
+        a = np.asarray(a)
+        return jnp.asarray(a) if _shard is None else jax.device_put(a, _shard)
 
     def run_chunk(x0, data, lower, upper, pmask, fmask):
         return run_chunk_c(all_patches, x0, data, lower, upper, pmask, fmask)
@@ -572,6 +588,8 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
         chunk = min(chunk, 1 << max(int(np.ceil(np.log2(max(P, 1)))), 3))
     else:
         chunk = 8
+    if ndev > 1:
+        chunk = max(chunk, ndev)   # powers of two keep divisibility
     n_chunks = int(np.ceil(P / chunk)) if P else 0
     for ci in range(n_chunks):
         sl = slice(ci * chunk, min((ci + 1) * chunk, P))
@@ -584,7 +602,7 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
             return np.concatenate(
                 [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
 
-        data = tuple(jnp.asarray(x) for x in (
+        data = tuple(_put(x) for x in (
             pad0(patch_row[sl]), pad0(corner[sl]), pad0(scale[sl], 1),
             pad0(ups[sl], 1), pad0(targets[sl]), pad0(target_w[sl])))
         lo = pad0(np.nan_to_num(lower[sl], neginf=-1e30), -1e30)
@@ -593,10 +611,10 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
         pmask[:n] = free_mask[sl]
         fmask = np.repeat(pmask[:, None], 2, axis=1)
 
-        x, summary = run_chunk(jnp.asarray(pad0(kp0[sl]).astype(np.float32)),
-                               data, jnp.asarray(lo.astype(np.float32)),
-                               jnp.asarray(hi.astype(np.float32)),
-                               jnp.asarray(pmask), jnp.asarray(fmask))
+        x, summary = run_chunk(_put(pad0(kp0[sl]).astype(np.float32)),
+                               data, _put(lo.astype(np.float32)),
+                               _put(hi.astype(np.float32)),
+                               _put(pmask), _put(fmask))
         xs = np.asarray(x)[:n]
         sel = free_mask[sl]
         out[sl] = np.where(sel[:, None], xs, out[sl])
