@@ -874,6 +874,74 @@ def ba_solve(residual_fn: Callable,
         def vinv_apply(t_t):
             return jnp.einsum("abp,bp->ap", Vinv_t, t_t)
 
+        # --- fused chunked Schur term (grid regime) -------------------------
+        # One lax.scan over obs chunks computes expand -> W^T -> track-sum ->
+        # Vinv -> broadcast -> W -> reduce per chunk with MXU einsums. The
+        # unchunked path above runs the same algebra as full-[.., O] passes
+        # with static NR loops on the VPU; the chunked einsum form measured
+        # 7.0-7.7 ms vs 38-39 ms per matvec at 2M obs / 500k pts on v5e
+        # (examples/probe_matvec3.py sweep, round 4) — the whole CG step is
+        # ~25 of these. Requires grid obs ordering (chunk ci covers points
+        # [ci*npc, (ci+1)*npc) exactly) so the point reduction is a reshape
+        # and Vinv arrives by dynamic_slice, not gather.
+        CH = int(opts.obs_chunk)
+        grid_fast = (use_grid and CH % grid_T == 0
+                     and not has_src and "imgc" in _scan_extra)
+        if grid_fast:
+            npc = CH // grid_T
+            n_ch = pad_O // CH
+            # chunk-align the W blocks and point inverses with ZERO padding:
+            # the tail chunk's wrapped img/cam indices then contribute
+            # exactly nothing (b == 0 and Vinv == 0 there)
+            Bt_c = Bt if pad_O == O else jnp.concatenate(
+                [Bt, jnp.zeros((NR * 3, pad_O - O), Bt.dtype)], axis=1)
+            Vinv_c = Vinv_t if n_ch * npc == Np else jnp.concatenate(
+                [Vinv_t, jnp.zeros((3, 3, n_ch * npc - Np), Vinv_t.dtype)],
+                axis=2)
+            Btc = jnp.moveaxis(Bt_c.reshape(NR * 3, n_ch, CH), 1, 0)
+            imgc = _scan_extra["imgc"][:n_ch]
+            camc = _scan_extra["camc"][:n_ch]
+            iota_I = jnp.arange(I, dtype=jnp.int32)
+            iota_C = jnp.arange(Nc, dtype=jnp.int32)
+            HI = jax.lax.Precision.HIGHEST
+
+            def schur_term_chunked(vp, vc):
+                """- accumulated (W Vinv W^T) v in [6+k, I/Nc] planes."""
+                vpT, vcT = vp.T, vc.T                    # [6, I], [k, Nc]
+
+                def chunk(carry, inp):
+                    ic, cc, bc, ci = inp
+                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.float32)
+                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.float32)
+                    rows = jnp.concatenate([
+                        jnp.dot(vpT, oh_i, precision=HI,
+                                preferred_element_type=jnp.float32),
+                        jnp.dot(vcT, oh_c, precision=HI,
+                                preferred_element_type=jnp.float32)
+                    ], axis=0)                           # [NR, CH]
+                    b = bc.reshape(NR, 3, CH)
+                    s = jnp.einsum("aco,ao->co", b, rows)      # [3, CH]
+                    t = s.reshape(3, npc, grid_T).sum(-1)      # [3, npc]
+                    vi = jax.lax.dynamic_slice(
+                        Vinv_c, (0, 0, ci * npc), (3, 3, npc))
+                    w = jnp.einsum("abp,bp->ap", vi, t)        # [3, npc]
+                    wl = jnp.broadcast_to(
+                        w[:, :, None], (3, npc, grid_T)).reshape(3, CH)
+                    u = jnp.einsum("aco,co->ao", b, wl)        # [NR, CH]
+                    up_a, uc_a = carry
+                    up_a = up_a + jnp.dot(u[:6], oh_i.T, precision=HI,
+                                          preferred_element_type=jnp.float32)
+                    uc_a = uc_a + jnp.dot(u[6:], oh_c.T, precision=HI,
+                                          preferred_element_type=jnp.float32)
+                    return (up_a, uc_a), None
+
+                (up_a, uc_a), _ = jax.lax.scan(
+                    chunk,
+                    (jnp.zeros((6, I), jnp.float32),
+                     jnp.zeros((k, Nc), jnp.float32)),
+                    (imgc, camc, Btc, jnp.arange(n_ch, dtype=jnp.int32)))
+                return up_a.T, uc_a.T                     # [I, 6], [Nc, k]
+
         def s_matvec(v):
             vp, vc = v
             avp = jnp.einsum("iab,ib->ia", Hpp_d, vp) \
@@ -881,10 +949,13 @@ def ba_solve(residual_fn: Callable,
             avc = jnp.einsum("cab,cb->ca", Hcc_d, vc)
             avc = avc + _segment_sum(obs_cam_of_img, Nc,
                                      jnp.einsum("iak,ia->ik", Hpc, vp))
-            rows_t = gather_rows_t(vp, vc)
-            t_p = pt_reduce_t(B_apply_T(rows_t))             # [3, Np]
-            w_o = pt_expand_t(vinv_apply(t_p))               # [3, O]
-            up, uc = scatter_rows_t(B_apply(w_o))
+            if grid_fast:
+                up, uc = schur_term_chunked(vp, vc)
+            else:
+                rows_t = gather_rows_t(vp, vc)
+                t_p = pt_reduce_t(B_apply_T(rows_t))         # [3, Np]
+                w_o = pt_expand_t(vinv_apply(t_p))           # [3, O]
+                up, uc = scatter_rows_t(B_apply(w_o))
             return (avp - up, avc - uc)
 
         Minv_p = jnp.linalg.inv(Hpp_d)
