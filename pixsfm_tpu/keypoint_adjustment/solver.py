@@ -517,14 +517,15 @@ def make_target_system(all_patches, interp: InterpolationConfig,
     return system_fn, cost_fn
 
 
-@lru_cache(maxsize=32)
-def _compiled_target_chunk(interp_key, loss_key, lm_opts: LMOptions):
+def _target_chunk_core(interp_key, loss_key, lm_opts: LMOptions):
+    """UNjitted fixed-target chunk solver — jitted by
+    :func:`_compiled_target_chunk`, or composed into a larger fused program
+    (the localization QKA->PnP single-dispatch path)."""
     interp = InterpolationConfig(mode=interp_key[0], l2_normalize=interp_key[1],
                                  ncc_normalize=interp_key[2],
                                  nodes=[list(n) for n in interp_key[3]])
     loss = RobustLoss(loss_key[0], list(loss_key[1]), scale=loss_key[2])
 
-    @jax.jit
     def run_chunk(all_patches, x0, data, lower, upper, pmask, fmask):
         window_ok = (interp.mode in ("BICUBIC", "CERES_BICUBIC")
                      and not interp.ncc_normalize)
@@ -545,6 +546,11 @@ def _compiled_target_chunk(interp_key, loss_key, lm_opts: LMOptions):
                         opts=lm_opts)
 
     return run_chunk
+
+
+@lru_cache(maxsize=32)
+def _compiled_target_chunk(interp_key, loss_key, lm_opts: LMOptions):
+    return jax.jit(_target_chunk_core(interp_key, loss_key, lm_opts))
 
 
 def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,

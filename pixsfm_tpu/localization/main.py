@@ -903,6 +903,35 @@ class QueryBundleAdjuster:
 # QueryLocalizer
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=32)
+def _compiled_qka_pnp(interp_key, loss_key, lm_opts, model: str, H: int,
+                      n_pad: int):
+    """ONE fused program for the single-query QKA -> PnP chain.
+
+    The serving-latency profile of :meth:`QueryLocalizer.localize` is
+    dispatch-bound on remote backends (~one tunnel RTT per program:
+    QKA, PnP, QBA). PnP consumes exactly the keypoints QKA refines, so the
+    two fuse into one program: fixed-target LM chunk -> gather refined
+    keypoints per correspondence -> RANSAC/LO PnP — saving one dispatch and
+    one device->host->device round trip of the refined keypoints."""
+    from ..keypoint_adjustment.solver import _target_chunk_core
+    from .pnp import _pnp_core
+
+    qka = _target_chunk_core(interp_key, loss_key, lm_opts)
+    pnp = _pnp_core(model, H, n_pad, 1)
+
+    @jax.jit
+    def run(all_patches, x0, data, lower, upper, pmask, fmask, sel_idx,
+            X, valid, params, samples, max_err):
+        kp_new, summary = qka(all_patches, x0, data, lower, upper, pmask,
+                              fmask)
+        xy = kp_new[sel_idx].astype(jnp.float32)        # [n_pad, 2]
+        bq, bt, binl, bcnt = pnp(X, xy, valid, params, samples, max_err)
+        return kp_new, summary, bq, bt, binl, bcnt
+
+    return run
+
+
 class QueryLocalizer:
     """Full localization flow (reference: localization/main.py:261-537)."""
 
@@ -1078,21 +1107,35 @@ class QueryLocalizer:
             query_references = self.get_query_references(
                 pnp_points3D_id, query_fmaps, pnp_points2D, pnp_point2D_idxs)
 
-        if self.conf.QKA.apply:
-            self.qka.refine_multilevel(pnp_points2D, query_fmaps,
-                                       query_references,
-                                       point2D_idxs=pnp_point2D_idxs)
-
-        logger.info("Running PnP with %d correspondences.",
-                    len(pnp_points2D))
         max_error = float(self.conf.PnP.estimation.ransac.max_error)
         # the f64 host polish is redundant (and costs serving latency) when
         # QBA refines the pose right after PnP on the same inlier set
-        pose_dict = absolute_pose_estimation_batch(
-            [dict(points2D=pnp_points2D,
-                  points3D=np.asarray(pnp_points3D), camera=query_camera)],
-            max_error_px=max_error,
-            polish=not self.conf.QBA.apply)[0]
+        polish = not self.conf.QBA.apply
+        pose_dict = None
+        if self.conf.QKA.apply:
+            levels = self.qka.conf.get("level_indices")
+            if levels in (None, "all"):
+                levels = list(reversed(range(len(query_fmaps))))
+            if (len(levels) == 1 and len(pnp_points2D) >= 6
+                    and not self.conf.QKA.get("stack_correspondences")):
+                # single-dispatch QKA->PnP (see _compiled_qka_pnp)
+                pose_dict = self._localize_qka_pnp_fused(
+                    levels[0], pnp_points2D, pnp_point2D_idxs,
+                    query_fmaps, query_references, pnp_points3D,
+                    query_camera, max_error, polish)
+            else:
+                self.qka.refine_multilevel(pnp_points2D, query_fmaps,
+                                           query_references,
+                                           point2D_idxs=pnp_point2D_idxs)
+
+        if pose_dict is None:
+            logger.info("Running PnP with %d correspondences.",
+                        len(pnp_points2D))
+            pose_dict = absolute_pose_estimation_batch(
+                [dict(points2D=pnp_points2D,
+                      points3D=np.asarray(pnp_points3D),
+                      camera=query_camera)],
+                max_error_px=max_error, polish=polish)[0]
         if not pose_dict["success"]:
             return pose_dict
 
@@ -1126,6 +1169,79 @@ class QueryLocalizer:
         pose_dict["inliers"] = [bool(e < max_error) for e in errors]
         pose_dict["num_inliers"] = int(np.sum(pose_dict["inliers"]))
         return pose_dict
+
+    def _localize_qka_pnp_fused(self, level, pnp_points2D, pnp_point2D_idxs,
+                                query_fmaps, query_references, pnp_points3D,
+                                query_camera, max_error: float,
+                                polish: bool):
+        """Fused single-dispatch QKA->PnP (see :func:`_compiled_qka_pnp`).
+        Refines ``pnp_points2D`` in place and returns the PnP pose dict."""
+        from ..util.jit_cache import bucket
+        from .pnp import _gen_samples, finalize_device_pose
+
+        interp = InterpolationConfig.from_conf(
+            self.qka.conf.get("interpolation"))
+        opt = self.qka.conf.optimizer
+        loss = make_loss(opt.get("loss"))
+        lm_opts = LMOptions.from_solver_conf(opt.get("solver"))
+        bound = float(opt.get("bound", 4.0))
+        (kp0, rows, corner, scale, up, targets, tw, lo, hi, patches,
+         writeback) = self.qka._build_problems(
+            pnp_points2D, query_fmaps[level], query_references[level],
+            pnp_point2D_idxs, interp, bound)
+
+        # pad the problem axis like solve_target_problems (one chunk)
+        P = kp0.shape[0]
+        chunk = 1 << max(int(np.ceil(np.log2(max(P, 1)))), 3)
+
+        def pad0(a, fill=0):
+            a = np.asarray(a)
+            if len(a) >= chunk:
+                return np.ascontiguousarray(a)
+            return np.concatenate(
+                [a, np.full((chunk - len(a),) + a.shape[1:], fill, a.dtype)])
+
+        data = tuple(pad0(x) for x in (rows, corner)) + tuple(
+            pad0(x, 1) for x in (scale, up)) + tuple(
+            pad0(x) for x in (targets, tw))
+        lo_p = pad0(np.nan_to_num(lo, neginf=-1e30), -1e30).astype(np.float32)
+        hi_p = pad0(np.nan_to_num(hi, posinf=1e30), 1e30).astype(np.float32)
+        pmask = np.zeros(chunk, bool)
+        pmask[:P] = True
+        fmask = np.repeat(pmask[:, None], 2, axis=1)
+
+        # PnP inputs (non-stacked QKA: problem i == correspondence i)
+        n = len(pnp_points2D)
+        n_pad = bucket(n, minimum=16)
+        H = 512
+        sel = np.zeros(n_pad, np.int32)
+        sel[:n] = np.arange(n, dtype=np.int32)
+        X_p = np.zeros((n_pad, 3), np.float32)
+        X_p[:, 2] = 10.0
+        X_p[:n] = np.asarray(pnp_points3D, np.float32)
+        valid = np.zeros(n_pad, bool)
+        valid[:n] = True
+        params = np.asarray(query_camera.params, np.float32)
+        samples = _gen_samples(np.random.default_rng(0), n, H)
+
+        from ..util.jit_cache import interp_static_key
+        run = _compiled_qka_pnp(
+            interp_static_key(interp),
+            (loss.name, tuple(loss.params), loss.scale), lm_opts,
+            query_camera.model, H, n_pad)
+        args = jax.device_put((
+            np.asarray(patches), pad0(kp0).astype(np.float32), data,
+            lo_p, hi_p, pmask, fmask, sel, X_p, valid, params,
+            samples.astype(np.int32), np.float32(max_error)))
+        outs = run(*args)
+        kp_new, _summary, bq, bt, binl, bcnt = jax.device_get(outs)
+        writeback(kp_new[:P], pnp_points2D)
+        logger.info("Running PnP with %d correspondences (fused QKA).", n)
+        return finalize_device_pose(
+            query_camera, np.asarray(bq, np.float64),
+            np.asarray(bt, np.float64), binl[:n], int(bcnt),
+            np.asarray(pnp_points2D, np.float64),
+            np.asarray(pnp_points3D, np.float64), max_error, polish=polish)
 
     def localize_batch(self, queries: List[Dict]) -> List[Dict]:
         """Localize several queries with BATCHED device programs.

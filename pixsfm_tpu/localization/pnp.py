@@ -645,11 +645,12 @@ def _homography_batch_jnp(su, sx):
 
 
 @lru_cache(maxsize=64)
-def _compiled_pnp(model: str, H: int, n_pad: int, batch: int,
-                  lo_rounds: int = 4, gn_iters: int = 8):
-    """One jitted RANSAC+LO program for `batch` queries of `n_pad` padded
+def _pnp_core(model: str, H: int, n_pad: int, batch: int,
+              lo_rounds: int = 4, gn_iters: int = 8):
+    """UNjitted RANSAC+LO program for `batch` queries of `n_pad` padded
     correspondences and `H` minimal samples (2H pose hypotheses: DLT +
-    homography families per sample)."""
+    homography families per sample) — jitted by :func:`_compiled_pnp`, or
+    composed into a larger fused program (localization QKA->PnP)."""
     from ..base.cameras import img_from_cam
 
     def reproj_err_Rt(params, R, t, X, xy, valid):
@@ -759,9 +760,14 @@ def _compiled_pnp(model: str, H: int, n_pad: int, batch: int,
             None, length=lo_rounds)
         return bq, bt, binl, bcnt
 
-    fn = run_single if batch == 1 else jax.vmap(
+    return run_single if batch == 1 else jax.vmap(
         run_single, in_axes=(0, 0, 0, 0, 0, None))
-    return jax.jit(fn)
+
+
+@lru_cache(maxsize=32)
+def _compiled_pnp(model: str, H: int, n_pad: int, batch: int,
+                  lo_rounds: int = 4, gn_iters: int = 8):
+    return jax.jit(_pnp_core(model, H, n_pad, batch, lo_rounds, gn_iters))
 
 
 def _gen_samples(rng, n: int, H: int) -> np.ndarray:
@@ -859,32 +865,40 @@ def absolute_pose_estimation_batch(queries, max_error_px: float = 12.0,
         t_np = t_np.astype(np.float64)
         for bi, (qi, xy, X, cam) in enumerate(items):
             n = len(xy)
-            ni = int(cnt_np[bi])
-            if ni < 6 or ni < min_inlier_ratio * n \
-                    or not np.isfinite(q_np[bi]).all():
-                results[qi] = dict(success=False, num_inliers=0,
-                                   inliers=np.zeros(n, bool))
-                continue
-            qv = q_np[bi] / np.linalg.norm(q_np[bi])
-            tv = t_np[bi]
-            inl = inl_np[bi, :n].astype(bool)
-            if polish:
-                # f64 polish on the winning inlier set: the device loop is
-                # f32, whose pose noise can sit at the AUC@1mm threshold.
-                # Cauchy scale 1px (COLMAP RefineAbsolutePose semantics) —
-                # near-threshold mismatches inside the RANSAC inlier set
-                # must not drag the pose — and the polished pose is kept
-                # only if it does not shrink the consensus set.
-                ref = _pose_refinement_np(cam, qv, tv, X[inl], xy[inl],
-                                          loss_scale_px=1.0)
-                err_p = _reproj_errors(cam, ref["qvec"], ref["tvec"], X, xy)
-                inl_p = err_p < max_error_px
-                ni_p = int(inl_p.sum())
-                if ni_p >= ni:
-                    qv, tv, inl, ni = ref["qvec"], ref["tvec"], inl_p, ni_p
-            results[qi] = dict(success=True, qvec=qv, tvec=tv,
-                               num_inliers=ni, inliers=inl)
+            results[qi] = finalize_device_pose(
+                cam, q_np[bi], t_np[bi], inl_np[bi, :n], int(cnt_np[bi]),
+                xy, X, max_error_px, polish=polish,
+                min_inlier_ratio=min_inlier_ratio)
     return results
+
+
+def finalize_device_pose(cam, qvec, tvec, inliers, num_inliers, xy, X,
+                         max_error_px: float, polish: bool = True,
+                         min_inlier_ratio: float = 0.0) -> Dict:
+    """Host-side finalization of a device RANSAC pose: success checks and
+    the optional f64 polish on the winning inlier set. The device loop is
+    f32, whose pose noise can sit at the AUC@1mm threshold; the polish uses
+    a Cauchy loss at 1px scale (COLMAP RefineAbsolutePose semantics) —
+    near-threshold mismatches inside the RANSAC inlier set must not drag
+    the pose — and the polished pose is kept only if it does not shrink
+    the consensus set."""
+    n = len(xy)
+    qvec = np.asarray(qvec, np.float64)
+    ni = int(num_inliers)
+    if ni < 6 or ni < min_inlier_ratio * n or not np.isfinite(qvec).all():
+        return dict(success=False, num_inliers=0, inliers=np.zeros(n, bool))
+    qv = qvec / np.linalg.norm(qvec)
+    tv = np.asarray(tvec, np.float64)
+    inl = np.asarray(inliers).astype(bool)
+    if polish:
+        ref = _pose_refinement_np(cam, qv, tv, X[inl], xy[inl],
+                                  loss_scale_px=1.0)
+        err_p = _reproj_errors(cam, ref["qvec"], ref["tvec"], X, xy)
+        inl_p = err_p < max_error_px
+        ni_p = int(inl_p.sum())
+        if ni_p >= ni:
+            qv, tv, inl, ni = ref["qvec"], ref["tvec"], inl_p, ni_p
+    return dict(success=True, qvec=qv, tvec=tv, num_inliers=ni, inliers=inl)
 
 
 def absolute_pose_estimation(points2D: np.ndarray, points3D: np.ndarray,
