@@ -428,7 +428,7 @@ def pose_refinement(camera: Camera, qvec, tvec, X, xy,
 # decomposition), scoring, and the LO-RANSAC refine/expand loop as ONE jitted
 # program, vmappable over a batch of queries. This is the TPU-native inversion
 # of pycolmap's host RANSAC (reference pixsfm/localization/main.py:458-461):
-# a fixed hypothesis count H evaluated as flat [2H, n] tensor ops instead of
+# a fixed hypothesis count H evaluated as flat [6H, n] tensor ops instead of
 # an adaptive host loop, and the LO refinement as an in-program lax.scan.
 #
 # Everything is pure-HLO arithmetic: eigh/svd/lu lower to TPU custom calls
@@ -536,6 +536,144 @@ def _project_so3(M, iters: int = 9):
     for _ in range(iters):
         X = 0.5 * (X + jnp.swapaxes(_inv3(X), -2, -1))
     return X
+
+
+def _cbrt(x):
+    return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+
+
+def _solve_quartic_real(c4, c3, c2, c1, c0):
+    """Batched real roots of c4 x^4 + c3 x^3 + c2 x^2 + c1 x + c0.
+
+    Ferrari's method with a Cardano/trigonometric resolvent cubic, fully
+    branch-free (jnp.where over discriminant signs) — TPUs have no complex
+    eig, so the companion-matrix route is unavailable in-jit. Returns
+    [B, 4] roots with NaN marking complex/absent ones."""
+    bad = jnp.abs(c4) < 1e-14
+    c4s = jnp.where(bad, 1.0, c4)
+    a3, a2 = c3 / c4s, c2 / c4s
+    a1, a0 = c1 / c4s, c0 / c4s
+    # depressed quartic y^4 + p y^2 + q y + r, x = y - a3/4
+    p = a2 - 3.0 * a3 * a3 / 8.0
+    q = a1 - a3 * a2 / 2.0 + a3 ** 3 / 8.0
+    r = a0 - a3 * a1 / 4.0 + a3 * a3 * a2 / 16.0 - 3.0 * a3 ** 4 / 256.0
+    # resolvent cubic m^3 + p m^2 + (p^2/4 - r) m - q^2/8 = 0
+    b, c_, d = p, p * p / 4.0 - r, -q * q / 8.0
+    ps = c_ - b * b / 3.0
+    qs = 2.0 * b ** 3 / 27.0 - b * c_ / 3.0 + d
+    disc = (qs / 2.0) ** 2 + (ps / 3.0) ** 3
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s_one = _cbrt(-qs / 2.0 + sq) + _cbrt(-qs / 2.0 - sq)
+    # three-real-root branch: largest root via the trig form
+    pc = jnp.minimum(ps, -1e-30)
+    acos_arg = jnp.clip(3.0 * qs / (2.0 * pc) * jnp.sqrt(-3.0 / pc),
+                        -1.0, 1.0)
+    s_tri = 2.0 * jnp.sqrt(-pc / 3.0) * jnp.cos(jnp.arccos(acos_arg) / 3.0)
+    m = jnp.where(disc >= 0, s_one, s_tri) - b / 3.0
+    m = jnp.maximum(m, 1e-12)
+    # (y^2 + p/2 + m)^2 = 2m y^2 - q y + q^2/(8m)  ->  two quadratics
+    s2m = jnp.sqrt(2.0 * m)
+    h = q / (2.0 * s2m)
+    roots = []
+    for sign in (1.0, -1.0):
+        # y^2 - sign*s2m*y + (p/2 + m + sign*h) = 0
+        A = p / 2.0 + m + sign * h
+        dq = s2m * s2m - 4.0 * A
+        sd = jnp.sqrt(jnp.maximum(dq, 0.0))
+        for pm in (1.0, -1.0):
+            y = (sign * s2m + pm * sd) / 2.0
+            roots.append(jnp.where((dq >= 0) & ~bad, y - a3 / 4.0, jnp.nan))
+    x = jnp.stack(roots, axis=-1)                          # [B, 4]
+    # two Newton steps on the original quartic: Ferrari's cancellations cost
+    # several f32 digits near clustered roots (P3P planar configurations)
+    for _ in range(2):
+        fx = (((c4[..., None] * x + c3[..., None]) * x + c2[..., None]) * x
+              + c1[..., None]) * x + c0[..., None]
+        dfx = ((4.0 * c4[..., None] * x + 3.0 * c3[..., None]) * x
+               + 2.0 * c2[..., None]) * x + c1[..., None]
+        dfx = jnp.where(jnp.abs(dfx) < 1e-12, 1e-12, dfx)
+        x = x - fx / dfx
+    return x
+
+
+def _p3p_batch_jnp(su, sx):
+    """Batched Grunert P3P: su [B,>=3,2] normalized image rays (first 3
+    used), sx [B,>=3,3] world points -> (R [4B,3,3], t [4B,3], ok [4B]),
+    up to 4 pose solutions per sample.
+
+    This is the minimal calibrated solver the reference effectively uses
+    (pycolmap absolute_pose_estimation -> COLMAP P3P, reference
+    localization/main.py:458-461): 3-point samples keep the per-sample
+    contamination probability minimal and the solver is exact for planar
+    scenes, where the 6-point DLT is degenerate. Coefficients follow the
+    classic Grunert system (Haralick et al., 'Review and analysis of
+    solutions of the three point perspective pose estimation problem')."""
+    B = su.shape[0]
+    f = jnp.concatenate([su[:, :3], jnp.ones_like(su[:, :3, :1])], -1)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)     # [B, 3, 3]
+    f1, f2, f3 = f[:, 0], f[:, 1], f[:, 2]
+    X1, X2, X3 = sx[:, 0], sx[:, 1], sx[:, 2]
+    ca = jnp.sum(f2 * f3, -1)          # cos(alpha): angle at rays (2,3)
+    cb = jnp.sum(f1 * f3, -1)          # cos(beta):  rays (1,3)
+    cg = jnp.sum(f1 * f2, -1)          # cos(gamma): rays (1,2)
+    a2 = jnp.sum((X2 - X3) ** 2, -1)
+    b2 = jnp.sum((X1 - X3) ** 2, -1)
+    c2 = jnp.sum((X1 - X2) ** 2, -1)
+    ok0 = (b2 > 1e-12) & (a2 > 1e-12) & (c2 > 1e-12)
+    b2s = jnp.where(ok0, b2, 1.0)
+    aq = a2 / b2s
+    cq = c2 / b2s
+    amc = aq - cq
+    apc = aq + cq
+    A4 = (amc - 1.0) ** 2 - 4.0 * cq * ca * ca
+    A3 = 4.0 * (amc * (1.0 - amc) * cb - (1.0 - apc) * ca * cg
+                + 2.0 * cq * ca * ca * cb)
+    A2 = 2.0 * (amc * amc - 1.0 + 2.0 * amc * amc * cb * cb
+                + 2.0 * (1.0 - cq) * ca * ca
+                - 4.0 * apc * ca * cb * cg + 2.0 * (1.0 - aq) * cg * cg)
+    A1 = 4.0 * (-amc * (1.0 + amc) * cb + 2.0 * aq * cg * cg * cb
+                - (1.0 - apc) * ca * cg)
+    A0 = (1.0 + amc) ** 2 - 4.0 * aq * cg * cg
+    v = _solve_quartic_real(A4, A3, A2, A1, A0)            # [B, 4]
+
+    # back-substitution per root: u then the three ray distances
+    caE, cbE, cgE = ca[:, None], cb[:, None], cg[:, None]
+    den = 2.0 * (cgE - v * caE)
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    u = ((-1.0 + amc[:, None]) * v * v - 2.0 * amc[:, None] * cbE * v
+         + 1.0 + amc[:, None]) / den
+    s1sq = b2s[:, None] / jnp.maximum(1.0 + v * v - 2.0 * v * cbE, 1e-12)
+    s1 = jnp.sqrt(jnp.maximum(s1sq, 0.0))
+    s2 = u * s1
+    s3 = v * s1
+    ok = (ok0[:, None] & jnp.isfinite(v) & (v > 1e-9) & (u > 1e-9)
+          & (s1 > 1e-9))                                   # [B, 4]
+
+    # camera-frame points + 3-point absolute orientation via orthonormal
+    # triads (exact for minimal, noise-free triplets)
+    Y1 = s1[..., None] * f1[:, None, :]                    # [B, 4, 3]
+    Y2 = s2[..., None] * f2[:, None, :]
+    Y3 = s3[..., None] * f3[:, None, :]
+
+    def triad(p1, p2, p3):
+        e1 = p2 - p1
+        e1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True),
+                              1e-12)
+        w = p3 - p1
+        e2 = w - jnp.sum(w * e1, -1, keepdims=True) * e1
+        e2 = e2 / jnp.maximum(jnp.linalg.norm(e2, axis=-1, keepdims=True),
+                              1e-12)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)            # [..., 3, 3]
+
+    Mw = triad(X1[:, None], X2[:, None], X3[:, None])      # [B, 1, 3, 3]
+    Mc = triad(Y1, Y2, Y3)                                 # [B, 4, 3, 3]
+    R = jnp.einsum("bvij,bvkj->bvik", Mc,
+                   jnp.broadcast_to(Mw, Mc.shape))         # Mc @ Mw^T
+    t = Y1 - jnp.einsum("bvij,bj->bvi", R, X1)
+    ok = ok & jnp.isfinite(R).all((-2, -1)) & jnp.isfinite(t).all(-1)
+    return (R.reshape(4 * B, 3, 3), t.reshape(4 * B, 3),
+            ok.reshape(4 * B))
 
 
 def _dlt_batch_jnp(su, sx):
@@ -648,8 +786,8 @@ def _homography_batch_jnp(su, sx):
 def _pnp_core(model: str, H: int, n_pad: int, batch: int,
               lo_rounds: int = 4, gn_iters: int = 8):
     """UNjitted RANSAC+LO program for `batch` queries of `n_pad` padded
-    correspondences and `H` minimal samples (2H pose hypotheses: DLT +
-    homography families per sample) — jitted by :func:`_compiled_pnp`, or
+    correspondences and `H` minimal samples (6H pose hypotheses: P3P (4) +
+    DLT + homography families per sample) — jitted by :func:`_compiled_pnp`, or
     composed into a larger fused program (localization QKA->PnP)."""
     from ..base.cameras import img_from_cam
 
@@ -681,15 +819,20 @@ def _pnp_core(model: str, H: int, n_pad: int, batch: int,
         # unbatched core (Newton 2x2 undistort for radial models) -> vmap
         uv = jax.vmap(lambda p: _cam_from_img(model, params, p))(xy)
         su, sx = uv[samples], X[samples]
+        # three hypothesis families per sample: minimal calibrated P3P
+        # (4 solutions; w^3 clean-sample probability — the low-inlier-ratio
+        # workhorse, and exact on planar scenes), 6-point DLT (general
+        # scenes), and homography decomposition (planar redundancy)
+        R0, t0_, ok0 = _p3p_batch_jnp(su, sx)
         R1, t1, ok1 = _dlt_batch_jnp(su, sx)
         R2, t2, ok2 = _homography_batch_jnp(su, sx)
-        R = jnp.concatenate([R1, R2])
-        t = jnp.concatenate([t1, t2])
-        ok = jnp.concatenate([ok1, ok2])
+        R = jnp.concatenate([R0, R1, R2])
+        t = jnp.concatenate([t0_, t1, t2])
+        ok = jnp.concatenate([ok0, ok1, ok2])
         ok = ok & jnp.isfinite(R).all((-2, -1)) & jnp.isfinite(t).all(-1)
         R = jnp.where(ok[:, None, None], R, jnp.eye(3, dtype=R.dtype))
         t = jnp.where(ok[:, None], t, jnp.zeros_like(t))
-        err = reproj_err_Rt(params, R, t, X, xy, valid)      # [2H, n]
+        err = reproj_err_Rt(params, R, t, X, xy, valid)      # [6H, n]
         inl = (err < max_err) & ok[:, None]
         cnt = inl.sum(1)
         best = jnp.argmax(cnt)
@@ -891,8 +1034,16 @@ def finalize_device_pose(cam, qvec, tvec, inliers, num_inliers, xy, X,
     tv = np.asarray(tvec, np.float64)
     inl = np.asarray(inliers).astype(bool)
     if polish:
+        # adaptive robust scale: COLMAP's fixed CauchyLoss(1.0) assumes
+        # ~1px honest inlier noise; featuremetric-refined keypoints sit
+        # 1-3px from the geometric optimum by design, and a 1px kernel
+        # there fits only the sharpest (possibly biased) sub-population
+        # (measured +15 deg on the sacre_coeur KA arm). 1.48*MAD of the
+        # inlier residuals matches the kernel to the data's own scale.
+        err0 = _reproj_errors(cam, qv, tv, X, xy)
+        scale = max(1.0, 1.48 * float(np.median(err0[inl])))
         ref = _pose_refinement_np(cam, qv, tv, X[inl], xy[inl],
-                                  loss_scale_px=1.0)
+                                  loss_scale_px=scale)
         err_p = _reproj_errors(cam, ref["qvec"], ref["tvec"], X, xy)
         inl_p = err_p < max_error_px
         ni_p = int(inl_p.sum())
@@ -906,19 +1057,19 @@ def absolute_pose_estimation(points2D: np.ndarray, points3D: np.ndarray,
                              min_inlier_ratio: float = 0.01,
                              max_iterations: int = 1000,
                              confidence: float = 0.9999,
-                             seed: int = 0) -> Dict:
+                             seed: int = 0, polish: bool = True) -> Dict:
     """RANSAC PnP (device-batched). Returns {success, qvec, tvec, num_inliers,
-    inliers}. One jitted program evaluates all minimal-sample hypotheses (DLT
-    + planar homography families) and runs the LO-RANSAC refine/expand loop;
-    equivalent of pycolmap.absolute_pose_estimation (reference
-    localization/main.py:458-461), with a float64 host polish on the final
-    inlier set so the returned pose matches the reference's Ceres f64
-    precision. Deviations from the adaptive pycolmap contract: the
-    hypothesis count is FIXED at min(max_iterations, 512) samples (all
-    evaluated in one device program — there is no early confidence-based
-    termination, so ``confidence`` only caps nothing and is accepted for
-    signature compatibility); ``min_inlier_ratio`` is enforced post hoc on
-    the winning inlier count."""
+    inliers}. One jitted program evaluates all minimal-sample hypotheses
+    (P3P + DLT + planar homography families) and runs the LO-RANSAC
+    refine/expand loop; equivalent of pycolmap.absolute_pose_estimation
+    (reference localization/main.py:458-461), with (``polish=True``) a
+    float64 host polish on the final inlier set so the returned pose matches
+    the reference's Ceres f64 precision. Deviations from the adaptive
+    pycolmap contract: the hypothesis count is FIXED at
+    min(max_iterations, 512) samples (all evaluated in one device program —
+    there is no early confidence-based termination, so ``confidence`` caps
+    nothing and is accepted for signature compatibility);
+    ``min_inlier_ratio`` is enforced post hoc on the winning inlier count."""
     xy = np.asarray(points2D, np.float64).reshape(-1, 2)
     n = len(xy)
     if n < 6:
@@ -926,7 +1077,7 @@ def absolute_pose_estimation(points2D: np.ndarray, points3D: np.ndarray,
     return absolute_pose_estimation_batch(
         [dict(points2D=points2D, points3D=points3D, camera=camera)],
         max_error_px=max_error_px, max_iterations=max_iterations,
-        seed=seed, min_inlier_ratio=min_inlier_ratio)[0]
+        seed=seed, min_inlier_ratio=min_inlier_ratio, polish=polish)[0]
 
 
 def _absolute_pose_estimation_host(points2D: np.ndarray, points3D: np.ndarray,
