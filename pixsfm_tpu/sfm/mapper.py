@@ -228,13 +228,57 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
                         shared_camera: bool = False,
                         max_reproj_error: float = 4.0,
                         ba_every: int = 1,
-                        cameras: Optional[Dict[str, Camera]] = None
+                        cameras: Optional[Dict[str, Camera]] = None,
+                        min_reg_inliers: int = 30,
+                        n_restarts: int = 2,
+                        _attempt: Optional[Tuple[int, int]] = None
                         ) -> Reconstruction:
     """``cameras``: optional known per-image intrinsics (hloc/COLMAP accept the
     same); when absent, intrinsics are initialized from a focal prior and
-    refined by focal sweeps + bundle adjustment."""
+    refined by focal sweeps + bundle adjustment.
+
+    ``min_reg_inliers``: registration acceptance bar (COLMAP's
+    abs_pose_min_num_inliers=30). Images below the bar are deferred — the
+    structure is BA'd/retriangulated and they are retried — and only taken
+    in a final best-effort rescue pass. Accepting weak registrations early
+    locks bent geometry that the (re-filtered) geometric BA then spreads
+    over the whole map: measured 5-19 deg global pose warp on the
+    sacre_coeur KA arm from 19-inlier acceptances at escalated thresholds.
+
+    ``n_restarts``: incremental SfM is chaotic — one wrong early
+    registration locks a bent map that downstream BA cannot escape. Like
+    COLMAP's repeated initialization trials (init_num_trials), up to
+    ``n_restarts`` extra attempts run from the next-ranked init pairs /
+    fresh RANSAC seeds when the first map scores badly, and the
+    best-scoring map wins (score: registered images, then total
+    observations, then mean reprojection error). A clean first map
+    (everything registered, sub-0.6px mean error) returns immediately, so
+    well-behaved scenes pay nothing."""
     from ..bundle_adjustment import GeometricBundleAdjuster
-    from ..localization.pnp import absolute_pose_estimation
+    from ..localization.pnp import (absolute_pose_estimation,
+                                    _reproj_errors as _reproj_errors_cam)
+
+    if _attempt is None and n_restarts > 0:
+        best_rec, best_key = None, None
+        for k in range(n_restarts + 1):
+            r = incremental_mapping(
+                graph, keypoints, image_dir, camera_model=camera_model,
+                shared_camera=shared_camera,
+                max_reproj_error=max_reproj_error, ba_every=ba_every,
+                cameras=cameras, min_reg_inliers=min_reg_inliers,
+                n_restarts=n_restarts, _attempt=(k, k))
+            n_reg = r.num_reg_images
+            n_obs = sum(len(p.track) for p in r.points3D.values())
+            err = r.mean_reprojection_error() if r.points3D else 99.0
+            logger.info("mapper: attempt %d -> %d registered, %d obs, "
+                        "%.3f px mean reproj", k, n_reg, n_obs, err)
+            key = (n_reg, n_obs, -err)
+            if best_key is None or key > best_key:
+                best_rec, best_key = r, key
+            if n_reg == len(keypoints) and err <= 0.6:
+                break
+        return best_rec
+    att_rank, att_seed = _attempt if _attempt is not None else (0, 0)
 
     names = sorted(keypoints.keys())
     sizes = _image_sizes(names, image_dir)
@@ -329,8 +373,6 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
     # no EXIF here; COLMAP similarly samples focals when priors are absent).
     # With known intrinsics the sweep collapses to the identity factor.
     FOCAL_FACTORS = (1.0,) if known_intrinsics else (0.6, 0.85, 1.2, 1.7)
-    init_pair = None
-    best_score = 0
     # rank candidate pairs by their own matches plus their connectivity to the
     # rest of the scene (a well-connected init pair registers more images)
     conn = {}
@@ -342,7 +384,8 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
         (a, b), ms = kv
         return -(len(ms) + 0.25 * (conn[a] + conn[b] - 2 * len(ms)))
 
-    top_pairs = sorted(pair_matches.items(), key=pair_rank)[:3]
+    top_pairs = sorted(pair_matches.items(), key=pair_rank)[:3 + att_rank]
+    init_cands: List[Tuple[int, tuple]] = []   # (score, candidate) per pair
     for (na, nb), ms in top_pairs:
         ms = np.asarray(ms)
         # blind prior (1.2*max(w,h)) is biased high -> centre the sweep lower;
@@ -351,6 +394,7 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
             1.0 if known_intrinsics or na in seeded else 1.2)
         fb0 = cam_of[nb].params[0] / (
             1.0 if known_intrinsics or nb in seeded else 1.2)
+        pair_best = None
         for fa in FOCAL_FACTORS:
             for fb in FOCAL_FACTORS:
                 ca = Camera(0, cam_of[na].model, cam_of[na].width,
@@ -367,8 +411,10 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
                 # Sampson support and good cheirality, so support counts
                 # alone cannot reject it — like COLMAP, prefer H whenever
                 # its support is comparable (H_inl >= 0.85 * E_inl).
-                solE = _essential_from_matches(uv1, uv2, iters=400)
-                solH = _homography_pose_from_matches(uv1, uv2, iters=300)
+                solE = _essential_from_matches(uv1, uv2, iters=400,
+                                               seed=att_seed)
+                solH = _homography_pose_from_matches(uv1, uv2, iters=300,
+                                                     seed=att_seed)
                 sol = solE
                 if solH is not None and (
                         solE is None
@@ -379,15 +425,21 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
                 R, t, inl, front = sol
                 # score: inliers that also triangulate in front of both
                 score = min(int(inl.sum()), 2 * front)
-                if score > best_score:
-                    best_score = score
-                    init_pair = (na, nb, R, t, fa * fa0, fb * fb0)
-        if best_score >= 0.6 * len(ms):
+                if pair_best is None or score > pair_best[0]:
+                    pair_best = (score, (na, nb, R, t, fa * fa0, fb * fb0))
+        if pair_best is not None:
+            init_cands.append(pair_best)
+        # stop scanning once enough strong candidates exist for this attempt
+        if (len(init_cands) > att_rank
+                and init_cands[0][0] >= 0.6 * len(ms)):
             break
-    if init_pair is None or best_score < 15:
+    init_cands.sort(key=lambda c: -c[0])
+    init_cands = [c for c in init_cands if c[0] >= 15]
+    if not init_cands:
         logger.warning("mapper: no valid initial pair found")
         return rec
-    na, nb, R, t, fa, fb = init_pair
+    best_score, chosen = init_cands[min(att_rank, len(init_cands) - 1)]
+    na, nb, R, t, fa, fb = chosen
     cam_of[na].params[0] = fa
     cam_of[nb].params[0] = fb
     logger.info("mapper: init focals %.0f / %.0f (%d inliers)", fa, fb,
@@ -421,8 +473,12 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
         rec.points3D = sub.points3D
 
     retriangulate()
+    # robust incremental-BA loss (COLMAP's mapper BAs use a robust kernel;
+    # with a trivial loss one weak registration's residual tail bends the
+    # whole map before retriangulation can filter it)
     ba = GeometricBundleAdjuster({
-        "optimizer": {"solver": {"max_num_iterations": 25,
+        "optimizer": {"loss": {"name": "cauchy", "params": [1.0]},
+                      "solver": {"max_num_iterations": 25,
                                  "use_inner_iterations": False},
                       "refine_principal_point": False,
                       "refine_focal_length": not known_intrinsics,
@@ -436,6 +492,7 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
     n_since_ba = 0
     attempts: Dict[str, int] = {}
     MAX_ATTEMPTS = 3
+    rescue_pass = False   # final best-effort pass: bar drops to 6 inliers
     while True:
         # build 2D-3D correspondences via graph tracks:
         # map track label -> point3D through a registered observation
@@ -462,6 +519,17 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
             cand.setdefault(nm, []).append((int(feature_idxs[nid]), pid))
         cand = {n: c for n, c in cand.items() if len(c) >= 6}
         if not cand:
+            remaining = [n for n in names if n not in registered]
+            if remaining and not rescue_pass:
+                # best-effort rescue: images that never cleared the 30-inlier
+                # bar get one more round at the base threshold with the floor
+                # acceptance (6) — coverage over purity for the stragglers,
+                # after the structure is as good as it gets
+                rescue_pass = True
+                attempts.clear()
+                ba.refine(rec)
+                retriangulate()
+                continue
             break
         # fewest prior attempts first, then most correspondences
         next_name, corrs = min(
@@ -472,11 +540,18 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
         xy = keypoints[next_name][p2D_idxs]
         X = np.stack([rec.points3D[p].xyz for p in p3D_ids])
         cam_n = cam_of[next_name]
-        # escalate the tolerance across retries: early structure from a
-        # two-view init can be metrically coarse; BA after registration
-        # tightens it (final inlier bookkeeping re-filters at 12px)
-        max_err = 12.0 * (2.0 ** attempts.get(next_name, 0))
-        pose = absolute_pose_estimation(xy, X, cam_n, max_error_px=max_err)
+        # escalate the tolerance ONE step across retries (early structure
+        # from a two-view init can be metrically coarse; BA after
+        # registration tightens it). Unbounded doubling admitted junk
+        # consensus sets — registrations taken at 48px bent the map.
+        max_err = 12.0 * (2.0 if attempts.get(next_name, 0) > 0 else 1.0)
+        min_inl = 6 if rescue_pass else max(6, int(min_reg_inliers))
+        # polish=False: registration poses are refined by the global BA
+        # right after, and the host robust polish measurably dragged
+        # featuremetric-keypoint maps (their honest inlier residuals sit
+        # 1-3px from the geometric optimum; see finalize_device_pose)
+        pose = absolute_pose_estimation(xy, X, cam_n, max_error_px=max_err,
+                                        polish=False, seed=att_seed)
         if (not pose["success"] or pose["num_inliers"] < 12) and \
                 len(xy) >= 12 and not known_intrinsics:
             # focal sweep retry (unknown intrinsics)
@@ -486,20 +561,21 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
                                  cam_n.params.copy())
                 cam_try.params[0] = ff * f0 / 1.2
                 alt = absolute_pose_estimation(xy, X, cam_try,
-                                               max_error_px=max_err)
+                                               max_error_px=max_err,
+                                               polish=False, seed=att_seed)
                 if alt["success"] and alt["num_inliers"] > \
                         pose.get("num_inliers", 0):
                     pose = alt
                     cam_n.params[0] = cam_try.params[0]
-        if not pose["success"] or pose["num_inliers"] < 6:
+        if not pose["success"] or pose["num_inliers"] < min_inl:
             attempts[next_name] = attempts.get(next_name, 0) + 1
-            logger.info("mapper: failed to register %s (attempt %d)",
-                        next_name, attempts[next_name])
+            logger.info("mapper: failed to register %s (attempt %d, "
+                        "%d inliers < %d)", next_name, attempts[next_name],
+                        int(pose.get("num_inliers", 0)), min_inl)
             # refine the current structure before the next try: failures are
             # usually coarse two-view geometry, not bad correspondences
-            if attempts[next_name] == 1:
-                ba.refine(rec)
-                retriangulate()
+            ba.refine(rec)
+            retriangulate()
             continue
         im = rec.images[name_to_id[next_name]]
         im.qvec = pose["qvec"]
@@ -516,6 +592,31 @@ def incremental_mapping(graph: Graph, keypoints: Dict[str, np.ndarray],
             retriangulate()
             n_since_ba = 0
 
+    ba.refine(rec)
+    retriangulate()
+
+    # re-registration sweep: every pose was estimated against the structure
+    # available at ITS registration time; early poses saw a two-view-coarse
+    # map. Re-seat each camera against the final structure (COLMAP gets the
+    # same effect from iterative global BA + re-filtering rounds) and keep
+    # the new pose when it explains at least as many observations.
+    for name in sorted(registered):
+        im = rec.images[name_to_id[name]]
+        sel = np.nonzero(im.point3D_ids >= 0)[0]
+        if len(sel) < 6:
+            continue
+        pids = im.point3D_ids[sel]
+        xy = keypoints[name][sel]
+        X = np.stack([rec.points3D[int(p)].xyz for p in pids])
+        old_err = _reproj_errors_cam(cam_of[name], im.qvec, im.tvec, X, xy)
+        old_ni = int((old_err < 12.0).sum())
+        pose = absolute_pose_estimation(xy, X, cam_of[name],
+                                        max_error_px=12.0, polish=False,
+                                        seed=att_seed)
+        if pose["success"] and pose["num_inliers"] >= max(old_ni, 6):
+            im.qvec = pose["qvec"]
+            im.tvec = pose["tvec"]
+    retriangulate()
     ba.refine(rec)
     retriangulate()
     ba.refine(rec)
