@@ -37,13 +37,44 @@ import numpy as np
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: first-ever bench run pays the
-    (multi-minute, remote-tunnel) compiles; subsequent runs load from disk."""
+    (multi-minute, remote-tunnel) compiles; subsequent runs load from disk.
+
+    The cache is MACHINE-SPECIFIC: XLA:CPU entries are AOT executables
+    compiled for this host's CPU features. A cache carried over from a
+    different host loads with mismatched features ("could lead to execution
+    errors such as SIGILL", cpu_aot_loader — observed in bench_err.log r03),
+    so the dir is stamped with the host CPU identity and purged on mismatch."""
+    import hashlib
+    import shutil
+
     import jax
     cache_dir = os.environ.get("PIXSFM_JAX_CACHE",
                                os.path.join(os.path.dirname(
                                    os.path.abspath(__file__)), ".jax_cache"))
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        host_id = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        host_id = hashlib.sha256(
+                            line.encode()).hexdigest()[:16]
+                        break
+        except OSError:
+            pass
+        stamp = os.path.join(cache_dir, ".host_id")
+        prev = None
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                prev = f.read().strip()
+        if prev is not None and prev != host_id:
+            print(f"[bench] purging stale compile cache (host {prev} -> "
+                  f"{host_id})", file=sys.stderr)
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            os.makedirs(cache_dir, exist_ok=True)
+        with open(stamp, "w") as f:
+            f.write(host_id)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

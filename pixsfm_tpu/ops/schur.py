@@ -899,6 +899,10 @@ def ba_solve(residual_fn: Callable,
                 [Vinv_t, jnp.zeros((3, 3, n_ch * npc - Np), Vinv_t.dtype)],
                 axis=2)
             Btc = jnp.moveaxis(Bt_c.reshape(NR * 3, n_ch, CH), 1, 0)
+            # materialize the chunked W blocks ONCE per Schur step: without
+            # the barrier XLA fuses this 240MB transpose into every consumer
+            # scan, re-reading Bt strided inside each of the ~25 CG matvecs
+            Btc = jax.lax.optimization_barrier(Btc)
             imgc = _scan_extra["imgc"][:n_ch]
             camc = _scan_extra["camc"][:n_ch]
             iota_I = jnp.arange(I, dtype=jnp.int32)
@@ -942,6 +946,60 @@ def ba_solve(residual_fn: Callable,
                     (imgc, camc, Btc, jnp.arange(n_ch, dtype=jnp.int32)))
                 return up_a.T, uc_a.T                     # [I, 6], [Nc, k]
 
+            def rhs_chunked(gxt_pad):
+                """(W V⁻¹ g_x) reduced to (I, Nc) planes — the einsum-chunked
+                second half of the matvec (w -> u -> one-hot reduce)."""
+                def chunk(carry, inp):
+                    ic, cc, bc, ci = inp
+                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.float32)
+                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.float32)
+                    b = bc.reshape(NR, 3, CH)
+                    vi = jax.lax.dynamic_slice(
+                        Vinv_c, (0, 0, ci * npc), (3, 3, npc))
+                    gx_c = jax.lax.dynamic_slice(
+                        gxt_pad, (0, ci * npc), (3, npc))
+                    w = jnp.einsum("abp,bp->ap", vi, gx_c)
+                    wl = jnp.broadcast_to(
+                        w[:, :, None], (3, npc, grid_T)).reshape(3, CH)
+                    u = jnp.einsum("aco,co->ao", b, wl)
+                    up_a, uc_a = carry
+                    up_a = up_a + jnp.dot(u[:6], oh_i.T, precision=HI,
+                                          preferred_element_type=jnp.float32)
+                    uc_a = uc_a + jnp.dot(u[6:], oh_c.T, precision=HI,
+                                          preferred_element_type=jnp.float32)
+                    return (up_a, uc_a), None
+
+                (up_a, uc_a), _ = jax.lax.scan(
+                    chunk,
+                    (jnp.zeros((6, I), jnp.float32),
+                     jnp.zeros((k, Nc), jnp.float32)),
+                    (imgc, camc, Btc, jnp.arange(n_ch, dtype=jnp.int32)))
+                return up_a.T, uc_a.T
+
+            def backsub_chunked(vp, vc):
+                """(Wᵀ gathered-rows) reduced per point: [3, n_ch*npc] —
+                the einsum-chunked first half of the matvec."""
+                vpT, vcT = vp.T, vc.T
+
+                def chunk(carry, inp):
+                    ic, cc, bc, ci = inp
+                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.float32)
+                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.float32)
+                    rows = jnp.concatenate([
+                        jnp.dot(vpT, oh_i, precision=HI,
+                                preferred_element_type=jnp.float32),
+                        jnp.dot(vcT, oh_c, precision=HI,
+                                preferred_element_type=jnp.float32)
+                    ], axis=0)
+                    b = bc.reshape(NR, 3, CH)
+                    s = jnp.einsum("aco,ao->co", b, rows)
+                    return carry, s.reshape(3, npc, grid_T).sum(-1)
+
+                _, ts = jax.lax.scan(
+                    chunk, 0.0,
+                    (imgc, camc, Btc, jnp.arange(n_ch, dtype=jnp.int32)))
+                return jnp.moveaxis(ts, 0, 1).reshape(3, n_ch * npc)
+
         def s_matvec(v):
             vp, vc = v
             avp = jnp.einsum("iab,ib->ia", Hpp_d, vp) \
@@ -958,6 +1016,11 @@ def ba_solve(residual_fn: Callable,
                 up, uc = scatter_rows_t(B_apply(w_o))
             return (avp - up, avc - uc)
 
+        # plain block-Jacobi preconditioner. A SCHUR_JACOBI variant
+        # (damped block diag of S via one extra chunked pass) was measured
+        # SLOWER end-to-end at the 2M-obs bench shape (391 vs 289 ms/iter,
+        # round 4): the diag pass costs ~1 matvec per LM iteration and the
+        # 25-iteration CG budget was exhausted either way.
         Minv_p = jnp.linalg.inv(Hpp_d)
         Minv_c = jnp.linalg.inv(Hcc_d)
 
@@ -967,8 +1030,13 @@ def ba_solve(residual_fn: Callable,
                     jnp.einsum("cab,cb->ca", Minv_c, vc))
 
         # rhs = g_cam - W Vinv g_p
-        y_t = pt_expand_t(vinv_apply(gxt))                   # [3, O]
-        cp, cc = scatter_rows_t(B_apply(y_t))
+        if grid_fast:
+            gxt_pad = gxt if n_ch * npc == Np else jnp.concatenate(
+                [gxt, jnp.zeros((3, n_ch * npc - Np), gxt.dtype)], axis=1)
+            cp, cc = rhs_chunked(gxt_pad)
+        else:
+            y_t = pt_expand_t(vinv_apply(gxt))               # [3, O]
+            cp, cc = scatter_rows_t(B_apply(y_t))
         rp, rc = gp - cp, gc - cc
 
         from jax.scipy.sparse.linalg import cg as _cg
@@ -979,7 +1047,10 @@ def ba_solve(residual_fn: Callable,
         d_pose = -dp_neg * pose_mask6.astype(jnp.float32)
         d_cam = -dc_neg * cam_mask.astype(jnp.float32)
 
-        t_t = pt_reduce_t(B_apply_T(gather_rows_t(d_pose, d_cam)))
+        if grid_fast:
+            t_t = backsub_chunked(d_pose, d_cam)[:, :Np]
+        else:
+            t_t = pt_reduce_t(B_apply_T(gather_rows_t(d_pose, d_cam)))
         d_xyz_t = -vinv_apply(gxt + t_t) * ptm[None, :]
         d_xyz = d_xyz_t.T                                    # [Np, 3]
 

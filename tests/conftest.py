@@ -18,6 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# No persistent compilation cache in tests: XLA:CPU AOT entries are
+# machine-specific — loading a cache warmed on a different host logs
+# "Machine type used for XLA:CPU compilation doesn't match ... could lead
+# to execution errors such as SIGILL" (observed in bench_err.log r03, and
+# the round-3 suite died once with a segfault inside XLA-CPU). bench.py
+# guards its cache with a host-identity stamp; tests simply never use one.
+jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
