@@ -96,6 +96,13 @@ class BAOptions:
     # reshapes, replacing the [Np, T]-table lane-axis gathers that run at
     # ~10 GB/s on TPU (the minor-dim gather path). CG large-O regime only.
     obs_grid_T: int = 0
+    # fused Pallas kernels for the grid-regime CG Schur matvec/rhs/backsub
+    # (ops/schur_pallas.py): one pass over Bt per matvec with VMEM-resident
+    # accumulators — measured 0.2-0.5 ms/matvec vs 7-11 ms for the XLA scan
+    # at 2M obs / 500k pts on v5e. "auto" = on for TPU backends at shapes
+    # whose one-hot tables fit VMEM; "on" forces (tests pair it with
+    # schur_pallas.INTERPRET); "off" keeps the XLA chunked-einsum path.
+    pallas_matvec: str = "auto"
 
     @classmethod
     def from_solver_conf(cls, conf, **overrides) -> "BAOptions":
@@ -116,6 +123,7 @@ class BAOptions:
             linear_solver_tol=float(get("linear_solver_tol", 0.1) or 0.1),
             progress=bool(get("minimizer_progress_to_stdout", False)),
             segment_iterations=int(get("segment_iterations", 0) or 0),
+            pallas_matvec=str(get("pallas_matvec", "auto") or "auto"),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -887,7 +895,41 @@ def ba_solve(residual_fn: Callable,
         CH = int(opts.obs_chunk)
         grid_fast = (use_grid and CH % grid_T == 0
                      and not has_src and "imgc" in _scan_extra)
+        use_pallas = False
         if grid_fast:
+            from . import schur_pallas as _sp
+            use_pallas = _sp.enabled(
+                getattr(opts, "pallas_matvec", "auto"), I, Nc, grid_T)
+        if use_pallas:
+            # fused Pallas backend: ONE kernel pass over Bt per matvec with
+            # [6, I]/[k, Nc] accumulators revisited in VMEM — measured at the
+            # HBM bandwidth floor (~0.2-0.5 ms/matvec at 2M obs / 500k pts on
+            # v5e vs 7-11 ms for the XLA scan below). Packing happens once
+            # per Schur step; tail points are zero-padded and inert.
+            _tile = _sp.pick_tile(I, Nc)
+            Btr_p, img_rp, cam_rp, Vinv_p, Ppad_p = _sp.pack_grid_blocks(
+                Bt, obs.img_idx, obs.cam_idx, Vinv_t, grid_T, tile=_tile)
+
+            def schur_term_chunked(vp, vc):
+                up, uc = _sp.schur_term_matvec(
+                    vp.T, vc.T, Btr_p, img_rp, cam_rp, Vinv_p,
+                    T=grid_T, I=I, Nc=Nc, k=k, tile=_tile)
+                return up.T, uc.T
+
+            def rhs_chunked(_gxt_pad_unused):
+                gxp = jnp.concatenate(
+                    [gxt, jnp.zeros((3, Ppad_p - Np), gxt.dtype)], axis=1) \
+                    if Ppad_p != Np else gxt
+                up, uc = _sp.schur_rhs(
+                    Btr_p, img_rp, cam_rp, Vinv_p, gxp,
+                    T=grid_T, I=I, Nc=Nc, k=k, tile=_tile)
+                return up.T, uc.T
+
+            def backsub_chunked(vp, vc):
+                return _sp.schur_backsub(
+                    vp.T, vc.T, Btr_p, img_rp, cam_rp,
+                    T=grid_T, I=I, Nc=Nc, k=k, tile=_tile)
+        elif grid_fast:
             npc = CH // grid_T
             n_ch = pad_O // CH
             # chunk-align the W blocks and point inverses with ZERO padding:
@@ -1030,7 +1072,9 @@ def ba_solve(residual_fn: Callable,
                     jnp.einsum("cab,cb->ca", Minv_c, vc))
 
         # rhs = g_cam - W Vinv g_p
-        if grid_fast:
+        if use_pallas:
+            cp, cc = rhs_chunked(None)
+        elif grid_fast:
             gxt_pad = gxt if n_ch * npc == Np else jnp.concatenate(
                 [gxt, jnp.zeros((3, n_ch * npc - Np), gxt.dtype)], axis=1)
             cp, cc = rhs_chunked(gxt_pad)
