@@ -905,29 +905,47 @@ class QueryBundleAdjuster:
 
 @lru_cache(maxsize=32)
 def _compiled_qka_pnp(interp_key, loss_key, lm_opts, model: str, H: int,
-                      n_pad: int):
+                      n_pad: int, n_levels: int = 1):
     """ONE fused program for the single-query QKA -> PnP chain.
 
     The serving-latency profile of :meth:`QueryLocalizer.localize` is
     dispatch-bound on remote backends (~one tunnel RTT per program:
     QKA, PnP, QBA). PnP consumes exactly the keypoints QKA refines, so the
-    two fuse into one program: fixed-target LM chunk -> gather refined
-    keypoints per correspondence -> RANSAC/LO PnP — saving one dispatch and
-    one device->host->device round trip of the refined keypoints."""
+    two fuse into one program: per-level fixed-target LM chunks (coarse ->
+    fine, each level starting from the previous level's refined keypoints,
+    exactly the ``refine_multilevel`` schedule — so the flagship 2-level
+    S2DNet config fuses too) -> gather refined keypoints per correspondence
+    -> RANSAC/LO PnP. Saves one dispatch per level plus the
+    device->host->device round trip of the refined keypoints.
+
+    Per-level box bounds are computed IN-program (patch box ∩ [x0 ± bound],
+    with x0 the running keypoints), matching the sequential path, where each
+    level's host-built box is centred on the previous level's output.
+
+    The in-program RANSAC uses the staged stage-1 family (P3P-only — see
+    pnp.absolute_pose_estimation_batch); the caller escalates to the full
+    program on the host if the consensus misses the acceptance bar."""
     from ..keypoint_adjustment.solver import _target_chunk_core
     from .pnp import _pnp_core
 
     qka = _target_chunk_core(interp_key, loss_key, lm_opts)
-    pnp = _pnp_core(model, H, n_pad, 1)
+    pnp = _pnp_core(model, H, n_pad, 1, families="p3p")
 
     @jax.jit
-    def run(all_patches, x0, data, lower, upper, pmask, fmask, sel_idx,
+    def run(level_args, x0, pmask, fmask, sel_idx,
             X, valid, params, samples, max_err):
-        kp_new, summary = qka(all_patches, x0, data, lower, upper, pmask,
+        # level_args: per level (all_patches, data, patch_lo, patch_hi,
+        # bscale) with bscale = bound/scale [P,2] (inf when bound<=0)
+        kp = x0
+        summary = None
+        for (all_patches, data, plo, phi, bscale) in level_args:
+            lower = jnp.maximum(plo, kp.astype(plo.dtype) - bscale)
+            upper = jnp.minimum(phi, kp.astype(phi.dtype) + bscale)
+            kp, summary = qka(all_patches, kp, data, lower, upper, pmask,
                               fmask)
-        xy = kp_new[sel_idx].astype(jnp.float32)        # [n_pad, 2]
+        xy = kp[sel_idx].astype(jnp.float32)            # [n_pad, 2]
         bq, bt, binl, bcnt = pnp(X, xy, valid, params, samples, max_err)
-        return kp_new, summary, bq, bt, binl, bcnt
+        return kp, summary, bq, bt, binl, bcnt
 
     return run
 
@@ -1116,11 +1134,11 @@ class QueryLocalizer:
             levels = self.qka.conf.get("level_indices")
             if levels in (None, "all"):
                 levels = list(reversed(range(len(query_fmaps))))
-            if (len(levels) == 1 and len(pnp_points2D) >= 6
+            if (len(pnp_points2D) >= 6
                     and not self.conf.QKA.get("stack_correspondences")):
-                # single-dispatch QKA->PnP (see _compiled_qka_pnp)
+                # single-dispatch multi-level QKA->PnP (see _compiled_qka_pnp)
                 pose_dict = self._localize_qka_pnp_fused(
-                    levels[0], pnp_points2D, pnp_point2D_idxs,
+                    levels, pnp_points2D, pnp_point2D_idxs,
                     query_fmaps, query_references, pnp_points3D,
                     query_camera, max_error, polish)
             else:
@@ -1170,14 +1188,17 @@ class QueryLocalizer:
         pose_dict["num_inliers"] = int(np.sum(pose_dict["inliers"]))
         return pose_dict
 
-    def _localize_qka_pnp_fused(self, level, pnp_points2D, pnp_point2D_idxs,
+    def _localize_qka_pnp_fused(self, levels, pnp_points2D, pnp_point2D_idxs,
                                 query_fmaps, query_references, pnp_points3D,
                                 query_camera, max_error: float,
                                 polish: bool):
-        """Fused single-dispatch QKA->PnP (see :func:`_compiled_qka_pnp`).
+        """Fused single-dispatch QKA->PnP (see :func:`_compiled_qka_pnp`),
+        running the full multi-level QKA schedule in one program.
         Refines ``pnp_points2D`` in place and returns the PnP pose dict."""
         from ..util.jit_cache import bucket
-        from .pnp import _gen_samples, finalize_device_pose
+        from .pnp import (STAGE1_MAX_SAMPLES, _gen_samples, _stage_accept,
+                          absolute_pose_estimation_batch,
+                          finalize_device_pose)
 
         interp = InterpolationConfig.from_conf(
             self.qka.conf.get("interpolation"))
@@ -1185,13 +1206,10 @@ class QueryLocalizer:
         loss = make_loss(opt.get("loss"))
         lm_opts = LMOptions.from_solver_conf(opt.get("solver"))
         bound = float(opt.get("bound", 4.0))
-        (kp0, rows, corner, scale, up, targets, tw, lo, hi, patches,
-         writeback) = self.qka._build_problems(
-            pnp_points2D, query_fmaps[level], query_references[level],
-            pnp_point2D_idxs, interp, bound)
 
-        # pad the problem axis like solve_target_problems (one chunk)
-        P = kp0.shape[0]
+        # per-level problem packs; bound boxes are applied IN-program around
+        # the running keypoints (level l starts from level l-1's output)
+        P = len(pnp_points2D)
         chunk = 1 << max(int(np.ceil(np.log2(max(P, 1)))), 3)
 
         def pad0(a, fill=0):
@@ -1201,11 +1219,29 @@ class QueryLocalizer:
             return np.concatenate(
                 [a, np.full((chunk - len(a),) + a.shape[1:], fill, a.dtype)])
 
-        data = tuple(pad0(x) for x in (rows, corner)) + tuple(
-            pad0(x, 1) for x in (scale, up)) + tuple(
-            pad0(x) for x in (targets, tw))
-        lo_p = pad0(np.nan_to_num(lo, neginf=-1e30), -1e30).astype(np.float32)
-        hi_p = pad0(np.nan_to_num(hi, posinf=1e30), 1e30).astype(np.float32)
+        level_args = []
+        kp0 = writeback = None
+        for level in levels:
+            (kp0, rows, corner, scale, up, targets, tw, _lo, _hi, patches,
+             writeback) = self.qka._build_problems(
+                pnp_points2D, query_fmaps[level], query_references[level],
+                pnp_point2D_idxs, interp, bound)
+            data = tuple(pad0(x) for x in (rows, corner)) + tuple(
+                pad0(x, 1) for x in (scale, up)) + tuple(
+                pad0(x) for x in (targets, tw))
+            # unclipped patch box (the kp-centred bound box applies in-jit)
+            ext = np.array([patches.shape[2], patches.shape[1]], np.float64)
+            plo = (corner + 0.5) / scale
+            phi = plo + ext / scale
+            bscale = (bound / scale if bound > 0
+                      else np.full_like(scale, np.inf))
+            level_args.append((
+                np.asarray(patches),
+                data,
+                pad0(plo, -1e30).astype(np.float32),
+                pad0(phi, 1e30).astype(np.float32),
+                pad0(np.nan_to_num(bscale, posinf=1e30),
+                     1e30).astype(np.float32)))
         pmask = np.zeros(chunk, bool)
         pmask[:P] = True
         fmask = np.repeat(pmask[:, None], 2, axis=1)
@@ -1213,7 +1249,7 @@ class QueryLocalizer:
         # PnP inputs (non-stacked QKA: problem i == correspondence i)
         n = len(pnp_points2D)
         n_pad = bucket(n, minimum=16)
-        H = 512
+        H = STAGE1_MAX_SAMPLES
         sel = np.zeros(n_pad, np.int32)
         sel[:n] = np.arange(n, dtype=np.int32)
         X_p = np.zeros((n_pad, 3), np.float32)
@@ -1228,15 +1264,28 @@ class QueryLocalizer:
         run = _compiled_qka_pnp(
             interp_static_key(interp),
             (loss.name, tuple(loss.params), loss.scale), lm_opts,
-            query_camera.model, H, n_pad)
+            query_camera.model, H, n_pad, n_levels=len(levels))
         args = jax.device_put((
-            np.asarray(patches), pad0(kp0).astype(np.float32), data,
-            lo_p, hi_p, pmask, fmask, sel, X_p, valid, params,
+            tuple(level_args), pad0(kp0).astype(np.float32),
+            pmask, fmask, sel, X_p, valid, params,
             samples.astype(np.int32), np.float32(max_error)))
         outs = run(*args)
         kp_new, _summary, bq, bt, binl, bcnt = jax.device_get(outs)
         writeback(kp_new[:P], pnp_points2D)
         logger.info("Running PnP with %d correspondences (fused QKA).", n)
+        if not _stage_accept(int(bcnt), n, 0.0):
+            # hard query: the in-program P3P stage missed the acceptance
+            # bar — escalate to the full staged RANSAC on the (already
+            # written back) refined keypoints. The common serving path
+            # never pays this.
+            logger.debug("Fused QKA->PnP below acceptance bar (%d/%d "
+                         "inliers), escalating to full RANSAC.",
+                         int(bcnt), n)
+            return absolute_pose_estimation_batch(
+                [dict(points2D=np.asarray(pnp_points2D, np.float64),
+                      points3D=np.asarray(pnp_points3D, np.float64),
+                      camera=query_camera)],
+                max_error_px=max_error, polish=polish)[0]
         return finalize_device_pose(
             query_camera, np.asarray(bq, np.float64),
             np.asarray(bt, np.float64), binl[:n], int(bcnt),

@@ -19,6 +19,7 @@ from ..base.cameras import Camera
 from ..base.geometry import exp_quat, quat_mul, quat_normalize, quat_to_rotmat, \
     rotmat_to_quat
 from ..base.projection import world_to_pixel
+from ..util.misc import logger
 
 __all__ = ["absolute_pose_estimation", "pose_refinement"]
 
@@ -784,11 +785,24 @@ def _homography_batch_jnp(su, sx):
 
 @lru_cache(maxsize=64)
 def _pnp_core(model: str, H: int, n_pad: int, batch: int,
-              lo_rounds: int = 4, gn_iters: int = 8):
+              lo_rounds: int = 4, gn_iters: int = 8,
+              families: str = "full"):
     """UNjitted RANSAC+LO program for `batch` queries of `n_pad` padded
-    correspondences and `H` minimal samples (6H pose hypotheses: P3P (4) +
-    DLT + homography families per sample) — jitted by :func:`_compiled_pnp`, or
-    composed into a larger fused program (localization QKA->PnP)."""
+    correspondences and `H` minimal samples — jitted by :func:`_compiled_pnp`,
+    or composed into a larger fused program (localization QKA->PnP).
+
+    ``families``:
+      - ``"full"``: 6H pose hypotheses (P3P (4) + DLT + homography per
+        sample) — the maximally robust program.
+      - ``"p3p"``: 4H hypotheses from the minimal calibrated P3P family
+        only. ~3x fewer hypotheses to score and, more importantly, none of
+        the 12x12/9x9 null-space solves (unrolled Cholesky + inverse power
+        iteration) that dominate the full program's arithmetic. Used as
+        stage 1 of the staged RANSAC in
+        :func:`absolute_pose_estimation_batch`: P3P is exact on planar
+        scenes and its 3-point samples have the best clean-sample
+        probability (w^3), so the extra families only pay off on queries
+        the acceptance bar flags as hard."""
     from ..base.cameras import img_from_cam
 
     def reproj_err_Rt(params, R, t, X, xy, valid):
@@ -824,11 +838,14 @@ def _pnp_core(model: str, H: int, n_pad: int, batch: int,
         # workhorse, and exact on planar scenes), 6-point DLT (general
         # scenes), and homography decomposition (planar redundancy)
         R0, t0_, ok0 = _p3p_batch_jnp(su, sx)
-        R1, t1, ok1 = _dlt_batch_jnp(su, sx)
-        R2, t2, ok2 = _homography_batch_jnp(su, sx)
-        R = jnp.concatenate([R0, R1, R2])
-        t = jnp.concatenate([t0_, t1, t2])
-        ok = jnp.concatenate([ok0, ok1, ok2])
+        if families == "p3p":
+            R, t, ok = R0, t0_, ok0
+        else:
+            R1, t1, ok1 = _dlt_batch_jnp(su, sx)
+            R2, t2, ok2 = _homography_batch_jnp(su, sx)
+            R = jnp.concatenate([R0, R1, R2])
+            t = jnp.concatenate([t0_, t1, t2])
+            ok = jnp.concatenate([ok0, ok1, ok2])
         ok = ok & jnp.isfinite(R).all((-2, -1)) & jnp.isfinite(t).all(-1)
         R = jnp.where(ok[:, None, None], R, jnp.eye(3, dtype=R.dtype))
         t = jnp.where(ok[:, None], t, jnp.zeros_like(t))
@@ -909,8 +926,10 @@ def _pnp_core(model: str, H: int, n_pad: int, batch: int,
 
 @lru_cache(maxsize=32)
 def _compiled_pnp(model: str, H: int, n_pad: int, batch: int,
-                  lo_rounds: int = 4, gn_iters: int = 8):
-    return jax.jit(_pnp_core(model, H, n_pad, batch, lo_rounds, gn_iters))
+                  lo_rounds: int = 4, gn_iters: int = 8,
+                  families: str = "full"):
+    return jax.jit(_pnp_core(model, H, n_pad, batch, lo_rounds, gn_iters,
+                             families))
 
 
 def _gen_samples(rng, n: int, H: int) -> np.ndarray:
@@ -919,48 +938,34 @@ def _gen_samples(rng, n: int, H: int) -> np.ndarray:
     return np.argpartition(r, 5, axis=1)[:, :6].astype(np.int32)
 
 
-def absolute_pose_estimation_batch(queries, max_error_px: float = 12.0,
-                                   max_iterations: int = 1000,
-                                   seed: int = 0,
-                                   min_inlier_ratio: float = 0.0,
-                                   polish: bool = True,
-                                   mesh=None):
-    """Batched RANSAC PnP: one jitted program per (camera model, size bucket)
-    group for the whole query batch. ``queries``: list of dicts with keys
-    ``points2D`` [n,2], ``points3D`` [n,3], ``camera``. Returns one
-    {success, qvec, tvec, num_inliers, inliers} per query (same semantics as
-    :func:`absolute_pose_estimation`). ``mesh`` (jax.sharding.Mesh): shard
-    the query batch axis over the device mesh (queries are independent —
-    serving fan-out over chips).
+# Staged-RANSAC acceptance bar: a stage-1 (P3P-only) pose is final when its
+# LO-refined consensus is BOTH large in absolute count and a healthy fraction
+# of the correspondences. A wrong pose with >=40% support at the inlier
+# threshold after 4 LO rounds requires a degenerate configuration that P3P
+# (exact on planar scenes) does not produce; queries below the bar re-run
+# the full P3P+DLT+homography program at full hypothesis count, so the
+# failure mode of a too-strict bar is wasted work, never a worse pose.
+STAGE_ACCEPT_RATIO = 0.4
+STAGE_MIN_INLIERS = 12
+STAGE1_MAX_SAMPLES = 256  # w^3 clean-sample odds need fewer samples than w^6
 
-    Precision contract: the device RANSAC/LO loop runs in float32; when
-    ``polish`` is true (default) the returned pose is re-refined on the
-    winning inlier set with the float64 host Gauss-Newton
-    (:func:`_pose_refinement_np`), so the pose the caller sees matches the
-    reference's pycolmap/Ceres f64 path to well below the ETH3D AUC@1mm
-    threshold. ``min_inlier_ratio`` is enforced post hoc on the final
-    inlier count (hypothesis count is fixed at min(max_iterations, 512)
-    samples rather than adaptive — see :func:`absolute_pose_estimation`)."""
-    from ..util.jit_cache import bucket
 
-    H = int(min(512, max(64, bucket(min(max_iterations, 512), minimum=64))))
-    rng = np.random.default_rng(seed)
-    results: list = [None] * len(queries)
-    groups: Dict[tuple, list] = {}
-    for qi, q in enumerate(queries):
-        xy = np.asarray(q["points2D"], np.float64).reshape(-1, 2)
-        X = np.asarray(q["points3D"], np.float64).reshape(-1, 3)
-        n = len(xy)
-        if n < 6:
-            results[qi] = dict(success=False, num_inliers=0,
-                               inliers=np.zeros(n, bool))
-            continue
-        cam = q["camera"]
-        groups.setdefault((cam.model, bucket(n, minimum=16)), []).append(
-            (qi, xy, X, cam))
+def _stage_accept(cnt: int, n: int, min_inlier_ratio: float) -> bool:
+    return (cnt >= max(6, STAGE_MIN_INLIERS)
+            and cnt >= min_inlier_ratio * n
+            and cnt >= STAGE_ACCEPT_RATIO * n)
 
+
+def _run_pnp_groups(groups, H: int, max_error_px: float, rng, mesh,
+                    families: str):
+    """Pack + dispatch one jitted program per (model, n_pad) group.
+
+    ``groups``: {(model, n_pad): [(qi, xy, X, cam), ...]}. Returns
+    {qi: (qvec_f64, tvec_f64, inliers[:n], cnt)}."""
+    out = {}
     ndev = int(mesh.devices.size) if mesh is not None else 1
     for (model, n_pad), items in groups.items():
+        from ..util.jit_cache import bucket
         B = len(items)
         B_pad = bucket(B, minimum=1)
         if ndev > 1:
@@ -982,7 +987,7 @@ def absolute_pose_estimation_batch(queries, max_error_px: float = 12.0,
             valid_b[bi, :n] = True
             par_b[bi] = np.asarray(cam.params, np.float32)
             samp_b[bi] = _gen_samples(rng, n, H)
-        run = _compiled_pnp(model, H, n_pad, B_pad)
+        run = _compiled_pnp(model, H, n_pad, B_pad, families=families)
         # every host<->device transfer is a round trip on remote backends
         # (the axon tunnel adds ~10ms each) — upload the packed args as ONE
         # device_put and fetch the 4 outputs as ONE device_get
@@ -1008,10 +1013,89 @@ def absolute_pose_estimation_batch(queries, max_error_px: float = 12.0,
         t_np = t_np.astype(np.float64)
         for bi, (qi, xy, X, cam) in enumerate(items):
             n = len(xy)
-            results[qi] = finalize_device_pose(
-                cam, q_np[bi], t_np[bi], inl_np[bi, :n], int(cnt_np[bi]),
-                xy, X, max_error_px, polish=polish,
-                min_inlier_ratio=min_inlier_ratio)
+            out[qi] = (q_np[bi], t_np[bi], inl_np[bi, :n], int(cnt_np[bi]))
+    return out
+
+
+def absolute_pose_estimation_batch(queries, max_error_px: float = 12.0,
+                                   max_iterations: int = 1000,
+                                   seed: int = 0,
+                                   min_inlier_ratio: float = 0.0,
+                                   polish: bool = True,
+                                   mesh=None,
+                                   staged: bool = True):
+    """Batched RANSAC PnP: one jitted program per (camera model, size bucket)
+    group for the whole query batch. ``queries``: list of dicts with keys
+    ``points2D`` [n,2], ``points3D`` [n,3], ``camera``. Returns one
+    {success, qvec, tvec, num_inliers, inliers} per query (same semantics as
+    :func:`absolute_pose_estimation`). ``mesh`` (jax.sharding.Mesh): shard
+    the query batch axis over the device mesh (queries are independent —
+    serving fan-out over chips).
+
+    ``staged`` (default): stage 1 runs the cheap P3P-only program
+    (<=STAGE1_MAX_SAMPLES 3-point samples, 4H hypotheses, no 12x12/9x9
+    null-space solves) for ALL queries; only queries whose LO consensus
+    misses the acceptance bar (:func:`_stage_accept`) escalate to the full
+    P3P+DLT+homography program at full hypothesis count. Easy queries — the
+    overwhelming serving majority — pay ~1/3 of the round-4 program;
+    robustness on hard queries is unchanged because escalation re-runs
+    everything the unstaged path would.
+
+    Precision contract: the device RANSAC/LO loop runs in float32; when
+    ``polish`` is true (default) the returned pose is re-refined on the
+    winning inlier set with the float64 host Gauss-Newton
+    (:func:`_pose_refinement_np`), so the pose the caller sees matches the
+    reference's pycolmap/Ceres f64 path to well below the ETH3D AUC@1mm
+    threshold. ``min_inlier_ratio`` is enforced post hoc on the final
+    inlier count (hypothesis count is fixed at min(max_iterations, 512)
+    samples rather than adaptive — see :func:`absolute_pose_estimation`)."""
+    from ..util.jit_cache import bucket
+
+    H = int(min(512, max(64, bucket(min(max_iterations, 512), minimum=64))))
+    rng = np.random.default_rng(seed)
+    results: list = [None] * len(queries)
+    groups: Dict[tuple, list] = {}
+    sizes: Dict[int, int] = {}
+    for qi, q in enumerate(queries):
+        xy = np.asarray(q["points2D"], np.float64).reshape(-1, 2)
+        X = np.asarray(q["points3D"], np.float64).reshape(-1, 3)
+        n = len(xy)
+        if n < 6:
+            results[qi] = dict(success=False, num_inliers=0,
+                               inliers=np.zeros(n, bool))
+            continue
+        cam = q["camera"]
+        sizes[qi] = n
+        groups.setdefault((cam.model, bucket(n, minimum=16)), []).append(
+            (qi, xy, X, cam))
+
+    item_of = {qi: it for items in groups.values() for it in items
+               for qi in [it[0]]}
+    if staged:
+        poses = _run_pnp_groups(groups, min(H, STAGE1_MAX_SAMPLES),
+                                max_error_px, rng, mesh, "p3p")
+        retry: Dict[tuple, list] = {}
+        for key, items in groups.items():
+            for it in items:
+                qi = it[0]
+                if not _stage_accept(poses[qi][3], sizes[qi],
+                                     min_inlier_ratio):
+                    retry.setdefault(key, []).append(it)
+        if retry:
+            n_retry = sum(len(v) for v in retry.values())
+            logger.debug("PnP stage 2: %d/%d queries below the P3P "
+                         "acceptance bar, running full program.",
+                         n_retry, len(item_of))
+            poses.update(_run_pnp_groups(retry, H, max_error_px, rng, mesh,
+                                         "full"))
+    else:
+        poses = _run_pnp_groups(groups, H, max_error_px, rng, mesh, "full")
+
+    for qi, (qv, tv, inl, cnt) in poses.items():
+        _, xy, X, cam = item_of[qi]
+        results[qi] = finalize_device_pose(
+            cam, qv, tv, inl, cnt, xy, X, max_error_px, polish=polish,
+            min_inlier_ratio=min_inlier_ratio)
     return results
 
 

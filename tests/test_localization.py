@@ -4,6 +4,8 @@ QueryLocalizer flow on the synthetic featuremetric scene."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # run via tools/run_suite.sh heavy lane
+
 from pixsfm_tpu.base.cameras import Camera
 from pixsfm_tpu.localization import (QueryLocalizer,
                                      absolute_pose_estimation,

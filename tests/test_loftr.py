@@ -16,6 +16,8 @@ import math
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # run via tools/run_suite.sh heavy lane
+
 torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402

@@ -7,6 +7,8 @@ import numpy as np
 import PIL.Image
 import pytest
 
+pytestmark = pytest.mark.heavy  # run via tools/run_suite.sh heavy lane
+
 from pixsfm_tpu.base.graph import Graph
 from pixsfm_tpu.sfm.mapper import incremental_mapping
 
@@ -172,6 +174,7 @@ def test_mapper_ring60_outliers(ring_scene60):
     shared focal within 5%, mean reprojection error < 1.2 px."""
     sc = ring_scene60
     assert sc["n_outliers"] > 1000, "fixture must inject real contamination"
+    assert sc["n_pairs"] >= 60, "covisibility window must yield a ring of pairs"
     rec = incremental_mapping(sc["graph"], sc["keypoints"], sc["image_dir"],
                               camera_model="SIMPLE_RADIAL",
                               shared_camera=True, ba_every=6, n_restarts=1)

@@ -18,6 +18,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # run via tools/run_suite.sh heavy lane
+
 from test_feature_reference_ba import featuremetric_scene
 from test_keypoint_adjustment import make_scene, _Manager
 

@@ -11,8 +11,11 @@ import pytest
 
 DATASET = Path("/root/reference/datasets/sacre_coeur/mapping")
 
-pytestmark = pytest.mark.skipif(not DATASET.exists(),
-                                reason="sacre_coeur dataset unavailable")
+pytestmark = [
+    pytest.mark.skipif(not DATASET.exists(),
+                       reason="sacre_coeur dataset unavailable"),
+    pytest.mark.heavy,  # run via tools/run_suite.sh heavy lane
+]
 
 
 @pytest.fixture(scope="module")
