@@ -451,6 +451,36 @@ def ncc_normalize(f_nodes, eps=0.0):
     return (f_nodes - mu) / sigma
 
 
+def ncc_normalize_with_grad(f_nodes, derivs):
+    """NCC normalization with the chain rule applied to spatial derivatives.
+
+    ``f_nodes``: (..., n_nodes, C); ``derivs``: sequence of arrays of the
+    same shape (df/dr, df/dc, ...). Per channel c:
+      g = (f - mu)/sigma,   mu/sigma over the node axis
+      dg = (df - dmu)/sigma - g * dsigma/sigma
+      dmu = mean_n df,  dsigma = mean_n((f - mu)(df - dmu)) / sigma
+    (degenerate sigma==0 follows the reference's sigma:=1 convention, where
+    the derivative reduces to the centered df)."""
+    mu = jnp.mean(f_nodes, axis=-2, keepdims=True)
+    fc = f_nodes - mu
+    var = jnp.mean(fc * fc, axis=-2, keepdims=True)
+    sigma = jnp.sqrt(var)
+    ok = sigma > 0.0
+    sigma = jnp.where(ok, sigma, 1.0)
+    g = fc / sigma
+    out = []
+    for d in derivs:
+        if d is None:
+            out.append(None)
+            continue
+        dmu = jnp.mean(d, axis=-2, keepdims=True)
+        dc = d - dmu
+        dsigma = jnp.where(ok, jnp.mean(fc * dc, axis=-2, keepdims=True)
+                           / sigma, 0.0)
+        out.append(dc / sigma - g * dsigma / sigma)
+    return g, out
+
+
 # ---------------------------------------------------------------------------
 # public API (single patch, single query; vmap for batching)
 # ---------------------------------------------------------------------------
@@ -674,9 +704,10 @@ def interpolate_nodes(patch, r, c, config: InterpolationConfig):
 
 
 def interpolate_nodes_with_grad(patch, r, c, config: InterpolationConfig):
-    """Node evaluation with (dfdr, dfdc); NCC is not chain-ruled here (the
-    reference applies NCC only through autodiff paths; for n_nodes>1 solvers we
-    differentiate with jax AD instead)."""
+    """Node evaluation with (dfdr, dfdc), all [n_nodes, C]; NCC normalization
+    is chain-ruled through the derivatives (:func:`ncc_normalize_with_grad`)
+    so n_nodes>1 solvers (multi-node KA, the reference's EvaluateNodes path in
+    residuals/src/featuremetric.h:54-55) get exact analytic Jacobians."""
     nodes = jnp.asarray(config.nodes_array())
 
     def one(node):
@@ -684,5 +715,5 @@ def interpolate_nodes_with_grad(patch, r, c, config: InterpolationConfig):
 
     f, dfdr, dfdc = jax.vmap(one)(nodes)
     if config.ncc_normalize:
-        f = ncc_normalize(f)
+        f, (dfdr, dfdc) = ncc_normalize_with_grad(f, (dfdr, dfdc))
     return f, dfdr, dfdc

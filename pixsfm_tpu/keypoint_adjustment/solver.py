@@ -209,7 +209,23 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
     r = uv[..., 1]
     c = uv[..., 0]
 
-    if rows_spec is not None:
+    if interp.n_nodes > 1:
+        # multi-node residual (reference EvaluateNodes,
+        # residuals/src/featuremetric.h:54-55): each keypoint's descriptor is
+        # the concatenation over the config's node offsets, optionally
+        # NCC-normalized per channel across nodes — the well-posed form for
+        # low-channel features (e.g. the identity image model, where a
+        # single-point RGB residual is an aperture problem). Effective
+        # channel count becomes n_nodes * C for the Gram machinery below.
+        from ..base.interpolation import interpolate_nodes_with_grad
+
+        def one(patch, rr, cc):
+            f, dfdr, dfdc = interpolate_nodes_with_grad(patch, rr, cc,
+                                                        interp)
+            return f.reshape(-1), dfdr.reshape(-1), dfdc.reshape(-1)
+
+        f, dfdr, dfdc = jax.vmap(jax.vmap(one))(patches, r, c)
+    elif rows_spec is not None:
         from ..base.interpolation import (bicubic_window_eval_rows,
                                           l2_normalize_with_grad)
         rows, H, W, C, patch_row = rows_spec
@@ -651,8 +667,8 @@ def _compiled_ka_chunk(interp_key, loss_key, lm_opts: LMOptions, K: int,
     def run_chunk(all_patches, x0, data, kp_free, lower, upper, pmask,
                   lam0=None):
         window_ok = (interp.mode in ("BICUBIC", "CERES_BICUBIC")
-                     and not interp.ncc_normalize)
-        if use_pallas:
+                     and not interp.ncc_normalize and interp.n_nodes == 1)
+        if use_pallas and interp.n_nodes == 1:
             system_fn, cost_fn = make_ka_system(all_patches, interp, loss, K,
                                                 use_pallas=True,
                                                 kp_free_mask=kp_free)

@@ -271,3 +271,33 @@ class TestBicubicWindowEval:
                                        atol=2e-5)
             np.testing.assert_allclose(np.asarray(dc1), np.asarray(dc0),
                                        atol=2e-5)
+
+
+def test_ncc_normalize_with_grad_matches_autodiff():
+    """The hand chain rule for per-channel NCC across nodes (used by the
+    multi-node KA residual) must match jax AD through ncc_normalize."""
+    import jax
+
+    from pixsfm_tpu.base.interpolation import (InterpolationConfig,
+                                               interpolate_nodes,
+                                               interpolate_nodes_with_grad)
+
+    rng = np.random.default_rng(0)
+    patch = jnp.asarray(rng.normal(0, 1, (16, 16, 3)).astype(np.float32))
+    conf = InterpolationConfig(
+        mode="BICUBIC", l2_normalize=False, ncc_normalize=True,
+        nodes=[[dx, dy] for dy in (-1.5, -0.5, 0.5, 1.5)
+               for dx in (-1.5, -0.5, 0.5, 1.5)])
+    r0, c0 = 7.3, 6.8
+    f, dfdr, dfdc = interpolate_nodes_with_grad(patch, r0, c0, conf)
+    J = jax.jacfwd(lambda rc: interpolate_nodes(patch, rc[0], rc[1], conf))(
+        jnp.asarray([r0, c0]))
+    np.testing.assert_allclose(np.asarray(dfdr), np.asarray(J[..., 0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfdc), np.asarray(J[..., 1]),
+                               rtol=1e-4, atol=1e-5)
+    # degenerate sigma==0 channel (constant patch) must not NaN
+    const = jnp.ones((16, 16, 1), jnp.float32)
+    f2, d2r, d2c = interpolate_nodes_with_grad(const, r0, c0, conf)
+    assert np.isfinite(np.asarray(f2)).all()
+    assert np.isfinite(np.asarray(d2r)).all()

@@ -217,3 +217,64 @@ def test_ka_compaction_matches_plain():
                                    atol=0.05)
     assert abs(results[0][1] - results[5][1]) < 0.05 * max(results[0][1],
                                                            1e-6)
+
+
+def test_multinode_ncc_ka_consensus():
+    """Multi-node NCC featuremetric KA (the reference's EvaluateNodes
+    residual, residuals/src/featuremetric.h:54-55): with C=1 identity
+    'features' a single-point residual is an aperture problem, but the
+    16-node NCC window must drive every track to photometric consensus
+    (track spread -> 0) within the 4 px bound."""
+    from pixsfm_tpu.features.featuremaps import FeatureMap, FeatureSet
+    from pixsfm_tpu.keypoint_adjustment import (FeatureMetricKeypointAdjuster,
+                                                build_matching_graph)
+
+    rng = np.random.default_rng(0)
+    n_kps, ps = 20, 16
+    H = W = 96
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    field = (np.sin(0.37 * xx) * np.sin(0.41 * yy)
+             + 0.3 * np.sin(0.13 * xx + 0.2 * yy))[..., None].astype(
+        np.float32)
+    true_xy = rng.uniform(ps, min(H, W) - ps, size=(n_kps, 2))
+    names = [f"im{i}.jpg" for i in range(3)]
+    fset = FeatureSet(channels=1, patch_size=ps, dtype="float32")
+    kps0 = {}
+    for name in names:
+        kp = true_xy + rng.uniform(-1.0, 1.0, true_xy.shape)
+        corners = np.floor(kp - ps / 2).astype(np.int64)
+        patches = np.stack([field[cy:cy + ps, cx:cx + ps]
+                            for cx, cy in corners])
+        fset.emplace(name, FeatureMap.from_arrays(
+            patches, list(range(n_kps)), corners, np.array([1.0, 1.0])))
+        kps0[name] = kp.astype(np.float64)
+    matches = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            matches[(names[i], names[j])] = np.stack(
+                [np.arange(n_kps)] * 2, axis=1)
+    graph = build_matching_graph(matches)
+
+    class _Mgr:
+        num_levels = 1
+
+        def fset(self, i):
+            return fset
+
+    nodes = [[dx, dy] for dy in (-1.5, -0.5, 0.5, 1.5)
+             for dx in (-1.5, -0.5, 0.5, 1.5)]
+    ka = FeatureMetricKeypointAdjuster({
+        "interpolation": {"mode": "BICUBIC", "l2_normalize": False,
+                          "ncc_normalize": True, "nodes": nodes},
+        "optimizer": {"loss": {"name": "trivial", "params": []},
+                      "bound": 4.0},
+        "max_kps_per_problem": 8})
+    kps = {k: v.copy() for k, v in kps0.items()}
+    out = ka.refine_multilevel(kps, _Mgr(), graph)
+    assert np.sum(out["final_cost"]) < 0.01 * np.sum(out["initial_cost"])
+
+    def spread(kd):
+        a = np.stack([kd[n] for n in names])
+        return np.linalg.norm(a - a.mean(0), axis=-1).mean()
+
+    assert spread(kps) < 0.05 * spread(kps0)
