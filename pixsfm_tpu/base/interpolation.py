@@ -360,8 +360,10 @@ GRADIENT_FIELD_MODES = ("POLYGRADIENTFIELD", "BICUBICGRADIENTFIELD",
                         "BICUBICCHAIN")
 
 
-def output_dim(mode: str, channels: int) -> int:
-    return 1 if mode in GRADIENT_FIELD_MODES else channels
+def output_dim(mode: str, channels: int, n_nodes: int = 1) -> int:
+    """Descriptor length produced by :func:`interpolate` for this config
+    (gradient-field modes are scalar; node windows concatenate)."""
+    return 1 if mode in GRADIENT_FIELD_MODES else channels * max(n_nodes, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -578,7 +580,7 @@ def interpolate_residual(patches, row, r, c,
     ``row`` scalar (vmap-friendly)."""
     config = config or InterpolationConfig()
     if (config.mode in ("BICUBIC", "CERES_BICUBIC")
-            and not config.ncc_normalize):
+            and not config.ncc_normalize and config.n_nodes == 1):
         N, H, W, C = patches.shape
         return interpolate_window_autodiff(
             patches.reshape(N * H, W, C), H, W, C, row * H, r, c,
@@ -594,13 +596,18 @@ def interpolate_residual_with_grad(patches, row, r, c,
     Same dispatch as :func:`interpolate_residual` (4-row window reads for
     plain bicubic, full-patch otherwise) but returns the gradients directly
     for solvers that assemble the observation Jacobian by hand instead of
-    differentiating through a custom-JVP wrapper. NCC configs are not
-    supported (their normalization is only differentiated via jax AD)."""
+    differentiating through a custom-JVP wrapper. Single-point NCC configs
+    are not supported (meaningless normalization); multi-node configs
+    (incl. NCC across nodes) route through the chain-ruled node path."""
     config = config or InterpolationConfig()
+    if config.n_nodes > 1 and config.mode not in GRADIENT_FIELD_MODES:
+        f, dfdr, dfdc = interpolate_nodes_with_grad(patches[row], r, c,
+                                                    config)
+        return f.reshape(-1), dfdr.reshape(-1), dfdc.reshape(-1)
     if config.ncc_normalize:
         raise NotImplementedError(
-            "interpolate_residual_with_grad: NCC configs use the autodiff "
-            "path")
+            "interpolate_residual_with_grad: single-point NCC configs use "
+            "the autodiff path")
     if config.mode in ("BICUBIC", "CERES_BICUBIC"):
         N, H, W, C = patches.shape
         f, dfdr, dfdc = bicubic_window_eval_single(
@@ -662,20 +669,17 @@ def _interpolate_cjvp(key):
     return fn
 
 
-def interpolate(patch, r, c, config: Optional[InterpolationConfig] = None):
-    """Interpolated (and optionally L2-normalized) descriptor at (r, c). [C] or [1]."""
-    config = config or InterpolationConfig()
+def _interpolate_point(patch, r, c, config: InterpolationConfig):
+    """Single-point interpolation core (ignores ``config.nodes``)."""
     f, _, _, _ = _MODE_FULL[config.mode](patch, r, c)
     if config.l2_normalize and config.mode not in GRADIENT_FIELD_MODES:
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-20)
     return f
 
 
-def interpolate_with_grad(patch, r, c,
-                          config: Optional[InterpolationConfig] = None,
-                          cross: bool = False):
-    """(f, dfdr, dfdc[, dfdrc]) with normalization chain rule applied."""
-    config = config or InterpolationConfig()
+def _interpolate_point_with_grad(patch, r, c, config: InterpolationConfig,
+                                 cross: bool = False):
+    """Single-point ``interpolate_with_grad`` core (ignores ``config.nodes``)."""
     f, dfdr, dfdc, dfdrc = _MODE_FULL[config.mode](patch, r, c)
     if config.l2_normalize and config.mode not in GRADIENT_FIELD_MODES:
         f, (dfdr, dfdc) = l2_normalize_with_grad(f, (dfdr, dfdc))
@@ -684,6 +688,36 @@ def interpolate_with_grad(patch, r, c,
     if cross:
         return f, dfdr, dfdc, dfdrc
     return f, dfdr, dfdc
+
+
+def interpolate(patch, r, c, config: Optional[InterpolationConfig] = None):
+    """Interpolated (optionally normalized) descriptor at (r, c).
+
+    With ``config.n_nodes > 1`` the descriptor is the CONCATENATION over the
+    node window (flattened [n_nodes*C] — the reference's EvaluateNodes,
+    interpolation.h:708-717), optionally NCC-normalized per channel across
+    nodes; otherwise the single-point value ([C] or [1])."""
+    config = config or InterpolationConfig()
+    if config.n_nodes > 1 and config.mode not in GRADIENT_FIELD_MODES:
+        return interpolate_nodes(patch, r, c, config).reshape(-1)
+    return _interpolate_point(patch, r, c, config)
+
+
+def interpolate_with_grad(patch, r, c,
+                          config: Optional[InterpolationConfig] = None,
+                          cross: bool = False):
+    """(f, dfdr, dfdc[, dfdrc]) with normalization chain rule applied.
+
+    Node-aware like :func:`interpolate`: with ``n_nodes > 1`` (and not
+    ``cross`` — the dfdrc costmap path is single-point) all outputs are the
+    flattened [n_nodes*C] node window with NCC chain-ruled through the
+    derivatives."""
+    config = config or InterpolationConfig()
+    if (config.n_nodes > 1 and not cross
+            and config.mode not in GRADIENT_FIELD_MODES):
+        f, dfdr, dfdc = interpolate_nodes_with_grad(patch, r, c, config)
+        return f.reshape(-1), dfdr.reshape(-1), dfdc.reshape(-1)
+    return _interpolate_point_with_grad(patch, r, c, config, cross)
 
 
 def interpolate_nodes(patch, r, c, config: InterpolationConfig):
@@ -695,7 +729,7 @@ def interpolate_nodes(patch, r, c, config: InterpolationConfig):
     nodes = jnp.asarray(config.nodes_array())
 
     def one(node):
-        return interpolate(patch, r + node[1], c + node[0], config)
+        return _interpolate_point(patch, r + node[1], c + node[0], config)
 
     f = jax.vmap(one)(nodes)
     if config.ncc_normalize:
@@ -711,7 +745,8 @@ def interpolate_nodes_with_grad(patch, r, c, config: InterpolationConfig):
     nodes = jnp.asarray(config.nodes_array())
 
     def one(node):
-        return interpolate_with_grad(patch, r + node[1], c + node[0], config)
+        return _interpolate_point_with_grad(patch, r + node[1], c + node[0],
+                                            config)
 
     f, dfdr, dfdc = jax.vmap(one)(nodes)
     if config.ncc_normalize:

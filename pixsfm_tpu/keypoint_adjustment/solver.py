@@ -209,23 +209,14 @@ def _eval_keypoints(patches, kp, corner, scale, ups, interp: InterpolationConfig
     r = uv[..., 1]
     c = uv[..., 0]
 
-    if interp.n_nodes > 1:
-        # multi-node residual (reference EvaluateNodes,
-        # residuals/src/featuremetric.h:54-55): each keypoint's descriptor is
-        # the concatenation over the config's node offsets, optionally
-        # NCC-normalized per channel across nodes — the well-posed form for
-        # low-channel features (e.g. the identity image model, where a
-        # single-point RGB residual is an aperture problem). Effective
-        # channel count becomes n_nodes * C for the Gram machinery below.
-        from ..base.interpolation import interpolate_nodes_with_grad
-
-        def one(patch, rr, cc):
-            f, dfdr, dfdc = interpolate_nodes_with_grad(patch, rr, cc,
-                                                        interp)
-            return f.reshape(-1), dfdr.reshape(-1), dfdc.reshape(-1)
-
-        f, dfdr, dfdc = jax.vmap(jax.vmap(one))(patches, r, c)
-    elif rows_spec is not None:
+    # n_nodes > 1 configs (the reference's EvaluateNodes residual,
+    # residuals/src/featuremetric.h:54-55) take the generic branch below:
+    # interpolate_with_grad is node-aware and returns the flattened
+    # [n_nodes*C] window per keypoint — the well-posed form for low-channel
+    # features (a single-point RGB/grayscale residual is an aperture
+    # problem). _compiled_ka_chunk routes them here by gating its
+    # window/pallas fast paths on n_nodes == 1.
+    if rows_spec is not None:
         from ..base.interpolation import (bicubic_window_eval_rows,
                                           l2_normalize_with_grad)
         rows, H, W, C, patch_row = rows_spec
@@ -429,7 +420,8 @@ def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
     uv = (kps * scales - 0.5 - corners) * ups[..., None]
 
     N, H, W, C = packed_patches.shape
-    if interp.mode in ("BICUBIC", "CERES_BICUBIC") and not interp.ncc_normalize:
+    if (interp.mode in ("BICUBIC", "CERES_BICUBIC")
+            and not interp.ncc_normalize and interp.n_nodes == 1):
         # windowed path: never replicates patches; chunk the query axis so
         # the [q, 4, W, C] row gather stays bounded on dense maps
         run = _compiled_descriptor_eval_rows(_interp_key(interp), H, W, C)
@@ -453,7 +445,8 @@ def evaluate_descriptors(packed_patches, rows, kps, corners, scales, ups,
     # heavily) and evaluate per unique patch
     from ..base.interpolation import output_dim
     run = _compiled_descriptor_eval_single(_interp_key(interp))
-    out = np.empty((n, output_dim(interp.mode, C)), np.float32)
+    out = np.empty((n, output_dim(interp.mode, C, interp.n_nodes)),
+                   np.float32)
     uniq, inv = np.unique(rows, return_inverse=True)
     for u_i, u in enumerate(uniq):
         sel = np.nonzero(inv == u_i)[0]
@@ -544,7 +537,7 @@ def _target_chunk_core(interp_key, loss_key, lm_opts: LMOptions):
 
     def run_chunk(all_patches, x0, data, lower, upper, pmask, fmask):
         window_ok = (interp.mode in ("BICUBIC", "CERES_BICUBIC")
-                     and not interp.ncc_normalize)
+                     and not interp.ncc_normalize and interp.n_nodes == 1)
         if window_ok:
             n, H, W, C = all_patches.shape
             rows = all_patches.reshape(n * H, W, C)  # free bitcast
