@@ -412,13 +412,28 @@ class QueryKeypointAdjuster:
 from functools import lru_cache
 
 
+def _qba_interp_key(interp: InterpolationConfig):
+    """Hashable compile key carrying the FULL interpolation semantics.
+
+    nodes and check_bounds MUST be part of the key: dropping them silently
+    compiled a single-point residual against node-window reference
+    descriptors (f [C] broadcast against tgt [1, n_nodes*C]) — measured on
+    the ETH3D synth matrix as QBA DEGRADING localization (median error
+    0.032 -> 0.083 m) while triangulation improved. Reference parity:
+    EvaluateNodes residuals, residuals/src/feature_reference.h:23-66."""
+    return (interp.mode, interp.l2_normalize, interp.ncc_normalize,
+            tuple(tuple(n) for n in interp.nodes), interp.check_bounds)
+
+
 def _qba_inner(model: str, interp_key, loss_key, max_iters: int,
                n_cam_params: int):
     """Un-jitted single-query pose(+intrinsics) damped Newton body — jitted
     directly for one query (`_compiled_qba`) or vmapped over a query axis
     with the packed patches shared (`_compiled_qba_batch`)."""
     interp = InterpolationConfig(mode=interp_key[0], l2_normalize=interp_key[1],
-                                 ncc_normalize=interp_key[2])
+                                 ncc_normalize=interp_key[2],
+                                 nodes=[list(n) for n in interp_key[3]],
+                                 check_bounds=interp_key[4])
     from ..base.losses import RobustLoss
     loss = RobustLoss(loss_key[0], list(loss_key[1]))
     NP = 6 + n_cam_params
@@ -641,9 +656,7 @@ class QueryBundleAdjuster:
                                + patches.shape[1:], patches.dtype)]) \
             if np_pad > patches.shape[0] else patches
 
-        run = _compiled_qba(camera.model,
-                            (interp.mode, interp.l2_normalize,
-                             interp.ncc_normalize),
+        run = _compiled_qba(camera.model, _qba_interp_key(interp),
                             (loss.name, tuple(loss.params)), max_iters,
                             len(camera.params))
         q, t, c, c0, c1 = run(
@@ -792,8 +805,7 @@ class QueryBundleAdjuster:
             cams[j] = np.asarray(it["camera"].params, np.float32)
 
         run = _compiled_qba_batch(
-            prepared[0][1]["camera"].model,
-            (interp.mode, interp.l2_normalize, interp.ncc_normalize),
+            prepared[0][1]["camera"].model, _qba_interp_key(interp),
             (loss.name, tuple(loss.params)), max_iters, k)
         if ndev > 1:
             from jax.sharding import NamedSharding
@@ -1126,9 +1138,15 @@ class QueryLocalizer:
                 pnp_points3D_id, query_fmaps, pnp_points2D, pnp_point2D_idxs)
 
         max_error = float(self.conf.PnP.estimation.ransac.max_error)
-        # the f64 host polish is redundant (and costs serving latency) when
-        # QBA refines the pose right after PnP on the same inlier set
-        polish = not self.conf.QBA.apply
+        # ALWAYS polish: the f64 geometric refinement is what pycolmap's
+        # absolute_pose_estimation performs inside the reference's PnP call
+        # (reference localization/main.py:458-461) and QBA depends on it —
+        # the featuremetric basin is ~the interpolation window, so QBA
+        # started from an unpolished RANSAC pose rejects every step and the
+        # query keeps the coarse pose. Measured (ETH3D synth, 3 queries):
+        # skipping polish when QBA follows tripled center error
+        # (0.032 -> 0.108 m) with QBA cost not moving at all.
+        polish = True
         pose_dict = None
         if self.conf.QKA.apply:
             levels = self.qka.conf.get("level_indices")
@@ -1360,7 +1378,9 @@ class QueryLocalizer:
             [dict(points2D=p["points2D"], points3D=np.asarray(p["points3D"]),
                   camera=p["camera"]) for p in prep],
             max_error_px=max_error,
-            polish=not self.conf.QBA.apply, mesh=mesh)
+            # always polish — see the single-query path: QBA needs the
+            # polished pose to start inside the featuremetric basin
+            polish=True, mesh=mesh)
         for p, pose in zip(prep, poses):
             if not pose["success"]:
                 results[p["qi"]] = pose

@@ -383,6 +383,94 @@ class TestPatchWarpQBA:
         assert err1 < err0 * 0.5, f"{err0} -> {err1}"
 
 
+class TestNodeWindowQBA:
+    def test_flat_node_targets_recover_pose(self, rng):
+        """Regression: QBA with a node-window interpolation config (the
+        reference's EvaluateNodes residual against flattened [n_nodes*C]
+        robust-mean references) must refine the pose, not degrade it.
+        Pre-fix, _qba_inner dropped ``nodes`` from its compile key and
+        evaluated a SINGLE-POINT query descriptor against the node-window
+        reference (f [C] broadcast vs tgt [1, n_nodes*C]) — measured on the
+        ETH3D synth matrix as QBA pushing median localization error
+        0.032 -> 0.083 m while everything still 'converged' (cost decreased
+        on garbage residuals).
+
+        The pose-recovery arm runs WITHOUT ncc_normalize: this scene's
+        patches are exactly linear (signal + grad . offset), and NCC over a
+        node window of a linear patch is *provably* translation-invariant
+        (mean removal kills the a + g.u term, std is |g|-scaled constant) —
+        zero pose signal by construction. A second arm asserts exactly that
+        invariance, documenting why NCC node windows belong to the
+        patch-warp/exposure-robust configs (reference photometric.yaml uses
+        them only with strategy=patch_warp), not to flat-target QBA on
+        exposure-constant scenes."""
+        from pixsfm_tpu.localization import QueryBundleAdjuster
+        from pixsfm_tpu.bundle_adjustment import extract_references
+        from pixsfm_tpu.bundle_adjustment.problem import pack_ba_problem
+        from pixsfm_tpu.features.featuremaps import FeatureView
+        from pixsfm_tpu.base.interpolation import InterpolationConfig
+        from pixsfm_tpu.base.geometry import (exp_quat, quat_mul,
+                                              quat_normalize)
+        import jax.numpy as jnp
+
+        rec, fset = featuremetric_scene(seed=29, n_images=4, n_points=30)
+        nodes = [[float(dx), float(dy)] for dy in (-1.5, -0.5, 0.5, 1.5)
+                 for dx in (-1.5, -0.5, 0.5, 1.5)]
+
+        def run_qba(ncc):
+            interp_conf = {"mode": "BICUBIC", "l2_normalize": False,
+                           "ncc_normalize": ncc, "nodes": nodes}
+            interp = InterpolationConfig.from_conf(interp_conf)
+            packed = pack_ba_problem(rec)
+            view = FeatureView.from_reconstruction(fset, rec,
+                                                   packed.point_ids)
+            refs = extract_references(
+                rec, fset, view,
+                {"loss": {"name": "cauchy", "params": [0.25]}, "iters": 10,
+                 "keep_observations": False}, interp)
+
+            im = rec.images[4]
+            q_fmap = fset.get_map(im.name)
+            p2D_idxs = [i for i, pid in enumerate(im.point3D_ids)
+                        if pid >= 0 and pid in refs]
+            p3D_ids = [int(im.point3D_ids[i]) for i in p2D_idxs]
+            points3D = [rec.points3D[p].xyz for p in p3D_ids]
+            references = [refs[p].descriptor for p in p3D_ids]
+            # flattened [n_nodes * C] descriptor (C = scene channel count)
+            assert references[0].ndim == 1
+            assert len(references[0]) % len(nodes) == 0
+            assert len(references[0]) > len(nodes)
+
+            q_true, t_true = im.qvec.copy(), im.tvec.copy()
+            q0 = np.asarray(quat_normalize(quat_mul(
+                exp_quat(jnp.asarray([2e-3, -1e-3, 1e-3])),
+                jnp.asarray(q_true))))
+            t0 = t_true + np.array([5e-3, -4e-3, 6e-3])
+
+            qba = QueryBundleAdjuster({
+                "interpolation": interp_conf,
+                "optimizer": {"loss": {"name": "trivial", "params": []},
+                              "solver": {"max_num_iterations": 25}}})
+            cam = rec.cameras[im.camera_id]
+            out = qba.refine(q0, t0, cam, points3D, q_fmap, references,
+                             point2D_idxs=p2D_idxs)
+            err0 = np.linalg.norm(t0 - t_true)
+            err1 = np.linalg.norm(out["tvec"] - t_true)
+            return out, err0, err1
+
+        # SSD node window: full pose recovery (pre-fix: cost decreased on
+        # garbage broadcast residuals while the pose went nowhere)
+        out, err0, err1 = run_qba(ncc=False)
+        assert out["final_cost"] < out["initial_cost"]
+        assert err1 < err0 * 0.1, f"{err0} -> {err1}"
+
+        # NCC node window on linear patches: invariant residual, ~zero cost
+        # at the PERTURBED pose already — and therefore no pose motion
+        out_ncc, err0_ncc, err1_ncc = run_qba(ncc=True)
+        assert out_ncc["initial_cost"] < 1e-4
+        assert abs(err1_ncc - err0_ncc) < 0.2 * err0_ncc
+
+
 class TestBatchLocalize:
     def test_pipelined_matches_serial(self):
         """localize_queries with prefetch on/off gives identical poses."""
