@@ -669,6 +669,67 @@ def bench_localize(n_images=5, n_points=60, C=8, ps=16, reps=8):
     return 1.0 / max(best, 1e-9), 1.0 / max(best_b, 1e-9)
 
 
+def bench_e2e_sacre_coeur(nfeatures=1200):
+    """Integrated-pipeline wall-clock (s) on the 10-image real-image gate
+    scene: SIFT frontend -> DSIFT featuremetric KA -> lite incremental
+    mapper -> full featuremetric BA (refine extrinsics+focal). This is the
+    metric BASELINE.md's north star names (end-to-end KA/BA on a real
+    scene) at integration level — per-stage microbenches cannot catch
+    regressions that live between stages (round 4 shipped a 45% serving
+    regression invisibly because only stage benches ran). Fixed seed;
+    nfeatures reduced from the gate's 4000 to keep bench wall-clock sane.
+    Asserts all 10 images register so a silently-broken pipeline cannot
+    report a (fast) time."""
+    import importlib.util
+    from pathlib import Path
+
+    gate_py = Path(__file__).resolve().parent / "tools" / "sacre_coeur_gate.py"
+    spec = importlib.util.spec_from_file_location("_gate_bench", gate_py)
+    gate = importlib.util.module_from_spec(spec)
+    _argv = sys.argv
+    sys.argv = ["gate"]
+    try:
+        spec.loader.exec_module(gate)
+    finally:
+        sys.argv = _argv
+    if not gate.DATASET.exists():
+        raise RuntimeError("sacre_coeur dataset unavailable")
+
+    from pixsfm_tpu import load_config
+    from pixsfm_tpu.config import merge
+    from pixsfm_tpu.keypoint_adjustment import build_matching_graph
+    from pixsfm_tpu.refine_hloc import PixSfM
+    from pixsfm_tpu.sfm.mapper import incremental_mapping
+
+    image_dir = gate.DATASET / "mapping"
+    names = sorted(p.name for p in image_dir.glob("*.jpg"))
+    gt = gate.load_gt(names)
+
+    t0 = time.time()
+    kps, matches, scores, cameras = gate.run_frontend(names, gt, nfeatures)
+    graph = build_matching_graph(matches, scores)
+    conf = merge(load_config("dsift"), {"mapping": {"BA": {"optimizer": {
+        "refine_extrinsics": True,
+        "refine_focal_length": True,
+        "refine_extra_params": True,
+        "solver": {"max_num_iterations": 30},
+    }}}})
+    sfm = PixSfM(conf)
+    keypoints, _ = sfm.run_ka({n: kps[n].copy() for n in names}, image_dir,
+                              graph=graph)
+    rec = incremental_mapping(graph, keypoints, image_dir, cameras=cameras)
+    sfm.run_ba(rec, image_dir)
+    dt = time.time() - t0
+    n_reg = sum(bool(getattr(im, "registered", True))
+                for im in rec.images.values())
+    if n_reg != len(names):
+        raise RuntimeError(
+            f"e2e pipeline registered {n_reg}/{len(names)} images")
+    print(f"[bench] e2e sacre_coeur: {dt:.1f}s ({n_reg} images, "
+          f"{len(rec.points3D)} points)", file=sys.stderr, flush=True)
+    return dt
+
+
 # ---------------------------------------------------------------------------
 
 def main():
@@ -705,7 +766,8 @@ def main():
                      bench_ba_featuremetric),
                     ("ba_lm_ms_per_iter_2m_obs_500k_pts", bench_ba_large),
                     ("extract_imgs_per_s", bench_extract),
-                    ("loftr_pairs_per_s_480x640", bench_loftr)):
+                    ("loftr_pairs_per_s_480x640", bench_loftr),
+                    ("e2e_sacre_coeur_s", bench_e2e_sacre_coeur)):
         try:
             out[key] = round(fn(), 2)
         except Exception as e:  # never lose the headline metric
