@@ -9,22 +9,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .geometry import (apply_pose, quat_conj, quat_normalize, quat_rotate,
-                       quat_to_rotmat)
+from .geometry import apply_pose, quat_conj, quat_normalize, quat_rotate
 from .cameras import cam_from_img, img_from_cam, img_from_cam_with_jac
 
 __all__ = [
     "world_to_pixel", "pixel_to_world", "calculate_depth", "point_in_front",
     "project_with_jac",
 ]
-
-
-def _skew(v):
-    z = jnp.zeros((), v.dtype)
-    return jnp.stack([
-        jnp.stack([z, -v[2], v[1]]),
-        jnp.stack([v[2], z, -v[0]]),
-        jnp.stack([-v[1], v[0], z])])
 
 
 def project_with_jac(model: str, cam_params, qvec, tvec, X, z_eps=1e-8):
@@ -42,23 +33,47 @@ def project_with_jac(model: str, cam_params, qvec, tvec, X, z_eps=1e-8):
     through projection.h:60-75 + the camera model templates, replacing
     generic ``jax.jacfwd`` over the whole (6+k+3)-dim tangent in the BA
     residual hot loop.
+
+    The algebra is written scalar-expanded (explicit index arithmetic, no
+    [2,3]/[3,3]-shaped jnp matmuls): under ``vmap`` over an observation
+    chunk the matmul form lowers to batched tiny ``dot_general`` ops that
+    the TPU pads to (8,128) MXU tiles at >97% lane waste AND runs at bf16
+    operand precision, while this form becomes pure ``[n]``-vector f32 VPU
+    work (measured A/B on the 2M-obs Gram eval: examples/probe_jac_scalar.py
+    and docs/ba_throughput.md round-5 section).
     """
-    R = quat_to_rotmat(qvec)        # normalizes internally (s = 2/|q|^2)
-    RX = R @ X
-    x_cam = RX + tvec
-    z = x_cam[2]
-    z = jnp.where(jnp.abs(z) < z_eps, z_eps, z)
-    inv_z = 1.0 / z
-    uv = x_cam[:2] * inv_z
-    pix, J_uv, J_cam = img_from_cam_with_jac(model, cam_params, uv)
-    # duv/dx_cam = [[1/z, 0, -u/z], [0, 1/z, -v/z]]
-    duv_dxc = jnp.stack([
-        jnp.stack([inv_z, jnp.zeros((), z.dtype), -uv[0] * inv_z]),
-        jnp.stack([jnp.zeros((), z.dtype), inv_z, -uv[1] * inv_z])])
-    A = J_uv @ duv_dxc              # dpix/dx_cam [2, 3]
-    J_w = -A @ _skew(RX)
-    J_pose = jnp.concatenate([J_w, A], axis=1)
-    J_X = A @ R
+    # inlined quat_to_rotmat (same s = 2/|q|^2 normalization), kept scalar
+    w, x, y, z = qvec[0], qvec[1], qvec[2], qvec[3]
+    n = w * w + x * x + y * y + z * z
+    s = jnp.where(n > 0, 2.0 / n, 0.0)
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    R = ((1.0 - (yy + zz), xy - wz, xz + wy),
+         (xy + wz, 1.0 - (xx + zz), yz - wx),
+         (xz - wy, yz + wx, 1.0 - (xx + yy)))
+    X0, X1, X2 = X[0], X[1], X[2]
+    RX = [R[i][0] * X0 + R[i][1] * X1 + R[i][2] * X2 for i in range(3)]
+    xc = [RX[i] + tvec[i] for i in range(3)]
+    zc = xc[2]
+    zc = jnp.where(jnp.abs(zc) < z_eps, z_eps, zc)
+    iz = 1.0 / zc
+    u, v = xc[0] * iz, xc[1] * iz
+    pix, J_uv, J_cam = img_from_cam_with_jac(model, cam_params,
+                                             jnp.stack([u, v]))
+    Juv = ((J_uv[0, 0], J_uv[0, 1]), (J_uv[1, 0], J_uv[1, 1]))
+    # A = J_uv @ duv/dx_cam, duv/dx_cam = [[iz, 0, -u iz], [0, iz, -v iz]]
+    A = [[Juv[i][0] * iz, Juv[i][1] * iz,
+          -(Juv[i][0] * u + Juv[i][1] * v) * iz] for i in range(2)]
+    a, b, c = RX[0], RX[1], RX[2]
+    # J_w = -A @ skew(RX); skew = [[0,-c,b],[c,0,-a],[-b,a,0]]
+    Jw = [[-(A[i][1] * c - A[i][2] * b),
+           -(-A[i][0] * c + A[i][2] * a),
+           -(A[i][0] * b - A[i][1] * a)] for i in range(2)]
+    JX = [[A[i][0] * R[0][j] + A[i][1] * R[1][j] + A[i][2] * R[2][j]
+           for j in range(3)] for i in range(2)]
+    J_pose = jnp.stack([jnp.stack(Jw[i] + A[i]) for i in range(2)])
+    J_X = jnp.stack([jnp.stack(JX[i]) for i in range(2)])
     return pix, J_pose, J_cam, J_X
 
 
