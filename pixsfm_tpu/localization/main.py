@@ -151,7 +151,19 @@ def _pack_query_fmap(fmap: FeatureMap):
     """FeatureMap -> (patches [N,ps,ps,C], meta arrays, {p2D_idx -> row}).
 
     DeviceFeatureMap (keep_on_device extraction) keeps the patch stack on
-    device; only the metadata is assembled on host."""
+    device; only the metadata is assembled on host.
+
+    The packed result is CACHED on the fmap instance and the patch stack is
+    pushed to the device once: the serving chain packs the same query fmap
+    for QKA, nearest-reference lookup, AND QBA, and on remote (tunnel)
+    backends the host->device patch upload is the dominant per-stage cost
+    (~60 ms per 4 MB measured — dispatch itself is ~0.03 ms). Localization
+    fmaps are immutable once extracted, so instance-keyed caching is safe;
+    anything that mutates ``fmap.patches`` afterwards must delete
+    ``_qloc_pack_cache``."""
+    cached = getattr(fmap, "_qloc_pack_cache", None)
+    if cached is not None:
+        return cached
     from ..features.featuremaps import DeviceFeatureMap
     if isinstance(fmap, DeviceFeatureMap):
         if fmap.is_dense:
@@ -168,16 +180,25 @@ def _pack_query_fmap(fmap: FeatureMap):
         scales = np.tile(fmap.scale.astype(np.float32), (len(ids), 1))
         ups = np.full(len(ids), fmap.upsampling_factor, np.float32)
         row_of = {int(ids[i]): r for r, i in enumerate(order)}
-        return patches, corners, scales, ups, row_of
-    ids = sorted(fmap.patches.keys())
-    patches = np.stack([fmap.patches[i].data for i in ids])
-    corners = np.stack([fmap.patches[i].corner for i in ids]).astype(
-        np.float32)
-    scales = np.stack([fmap.patches[i].scale for i in ids]).astype(np.float32)
-    ups = np.asarray([fmap.patches[i].upsampling_factor for i in ids],
-                     np.float32)
-    row_of = {int(i): r for r, i in enumerate(ids)}
-    return patches, corners, scales, ups, row_of
+        out = (patches, corners, scales, ups, row_of)
+    else:
+        import jax.numpy as jnp
+        ids = sorted(fmap.patches.keys())
+        patches = jnp.asarray(np.stack(          # ONE device upload
+            [fmap.patches[i].data for i in ids]))
+        corners = np.stack([fmap.patches[i].corner for i in ids]).astype(
+            np.float32)
+        scales = np.stack([fmap.patches[i].scale
+                           for i in ids]).astype(np.float32)
+        ups = np.asarray([fmap.patches[i].upsampling_factor for i in ids],
+                         np.float32)
+        row_of = {int(i): r for r, i in enumerate(ids)}
+        out = (patches, corners, scales, ups, row_of)
+    try:
+        fmap._qloc_pack_cache = out
+    except AttributeError:  # pragma: no cover - __slots__ containers
+        pass
+    return out
 
 
 def _rows_for(fmap: FeatureMap, row_of, point2D_idxs):
@@ -371,8 +392,12 @@ class QueryKeypointAdjuster:
         rows_all, patch_parts, row_off = [], [], 0
         for b in built:
             rows_all.append(np.asarray(b[1]) + row_off)
-            patch_parts.append(np.asarray(b[9]))
+            patch_parts.append(b[9])
             row_off += b[9].shape[0]
+        # patch stacks live on device (_pack_query_fmap cache) — concatenate
+        # there; pulling them back to numpy costs a tunnel round trip per MB
+        patches_cat = patch_parts[0] if len(patch_parts) == 1 \
+            else jnp.concatenate([jnp.asarray(p) for p in patch_parts])
         kp_new, summary = solve_target_problems(
             np.concatenate([b[0] for b in built]),
             np.concatenate(rows_all),
@@ -383,7 +408,7 @@ class QueryKeypointAdjuster:
             np.concatenate([padT(b[6], b[6].shape[1]) for b in built]),
             np.concatenate([b[7] for b in built]),
             np.concatenate([b[8] for b in built]),
-            np.concatenate(patch_parts), interp, loss, lm_opts, mesh=mesh)
+            patches_cat, interp, loss, lm_opts, mesh=mesh)
         start = 0
         for b, (kps, *_rest) in zip(built, items):
             n = b[0].shape[0]
@@ -651,9 +676,12 @@ class QueryBundleAdjuster:
                 [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
                 if pad_n else a
 
-        patches_p = np.concatenate(
-            [patches, np.zeros((np_pad - patches.shape[0],)
-                               + patches.shape[1:], patches.dtype)]) \
+        # patches may be device-resident (_pack_query_fmap cache) — pad with
+        # jnp so the stack never round-trips through host numpy
+        patches_p = jnp.concatenate(
+            [jnp.asarray(patches),
+             jnp.zeros((np_pad - patches.shape[0],) + patches.shape[1:],
+                       patches.dtype)]) \
             if np_pad > patches.shape[0] else patches
 
         run = _compiled_qba(camera.model, _qba_interp_key(interp),
@@ -768,15 +796,16 @@ class QueryBundleAdjuster:
         off = 0
         for _, _, a in prepared:
             row_off.append(off)
-            patch_parts.append(np.asarray(a[0]))
+            patch_parts.append(jnp.asarray(a[0]))  # device-resident (cache)
             off += a[0].shape[0]
-        patches_all = np.concatenate(patch_parts)
+        patches_all = patch_parts[0] if len(patch_parts) == 1 \
+            else jnp.concatenate(patch_parts)
         np_pad = _pow2(patches_all.shape[0])
         if np_pad > patches_all.shape[0]:
-            patches_all = np.concatenate(
-                [patches_all, np.zeros((np_pad - patches_all.shape[0],)
-                                       + patches_all.shape[1:],
-                                       patches_all.dtype)])
+            patches_all = jnp.concatenate(
+                [patches_all, jnp.zeros((np_pad - patches_all.shape[0],)
+                                        + patches_all.shape[1:],
+                                        patches_all.dtype)])
 
         rows_b = np.zeros((Qp, N), np.int64)
         corner_b = np.zeros((Qp, N, 2), np.float32)
@@ -876,9 +905,12 @@ class QueryBundleAdjuster:
                 if n_pad > n else a
 
         np_pad = 1 << max(int(np.ceil(np.log2(max(patches.shape[0], 1)))), 2)
-        patches_p = np.concatenate(
-            [patches, np.zeros((np_pad - patches.shape[0],)
-                               + patches.shape[1:], patches.dtype)]) \
+        # patches may be device-resident (_pack_query_fmap cache) — pad with
+        # jnp so the stack never round-trips through host numpy
+        patches_p = jnp.concatenate(
+            [jnp.asarray(patches),
+             jnp.zeros((np_pad - patches.shape[0],) + patches.shape[1:],
+                       patches.dtype)]) \
             if np_pad > patches.shape[0] else patches
 
         run = _compiled_patch_warp_qba(
@@ -1254,7 +1286,7 @@ class QueryLocalizer:
             bscale = (bound / scale if bound > 0
                       else np.full_like(scale, np.inf))
             level_args.append((
-                np.asarray(patches),
+                jnp.asarray(patches),   # device-resident via the pack cache
                 data,
                 pad0(plo, -1e30).astype(np.float32),
                 pad0(phi, 1e30).astype(np.float32),
