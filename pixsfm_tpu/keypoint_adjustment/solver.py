@@ -633,10 +633,16 @@ def solve_target_problems(kp0, patch_row, corner, scale, ups, targets,
         xs = np.asarray(x)[:n]
         sel = free_mask[sl]
         out[sl] = np.where(sel[:, None], xs, out[sl])
-        tot["initial_cost"] += float(jnp.sum(summary.initial_cost[:n]))
-        tot["final_cost"] += float(jnp.sum(summary.final_cost[:n]))
-        tot["iterations"] = max(tot["iterations"],
-                                int(jnp.max(summary.iterations)))
+        # ONE packed fetch for the three scalars: on tunnel backends every
+        # device->host read costs ~10 ms of transfer latency regardless of
+        # size, so fetch count — not bytes — is the serving-path cost
+        sc = np.asarray(jnp.stack([
+            jnp.sum(summary.initial_cost[:n]),
+            jnp.sum(summary.final_cost[:n]),
+            jnp.max(summary.iterations).astype(jnp.float32)]))
+        tot["initial_cost"] += float(sc[0])
+        tot["final_cost"] += float(sc[1])
+        tot["iterations"] = max(tot["iterations"], int(sc[2]))
     return out, tot
 
 

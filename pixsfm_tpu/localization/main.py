@@ -515,7 +515,10 @@ def _qba_inner(model: str, interp_key, loss_key, max_iters: int,
         (q, t, c, _, cost), _ = jax.lax.scan(
             body, (q0, t0, cam_params, jnp.asarray(1e-4, jnp.float32),
                    cost0), None, length=max_iters)
-        return q, t, c, cost0, cost
+        # ONE packed output vector [4+3+k+2]: every device->host fetch on a
+        # tunnel backend costs ~10 ms of latency regardless of size, so the
+        # five separate outputs were five fetches per query
+        return jnp.concatenate([q, t, c, jnp.stack([cost0, cost])])
 
     return run
 
@@ -687,19 +690,20 @@ class QueryBundleAdjuster:
         run = _compiled_qba(camera.model, _qba_interp_key(interp),
                             (loss.name, tuple(loss.params)), max_iters,
                             len(camera.params))
-        q, t, c, c0, c1 = run(
+        packed = np.asarray(run(
             jnp.asarray(qvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
             jnp.asarray(camera.params, jnp.float32), jnp.asarray(cam_mask),
             jnp.asarray(patches_p),
             jnp.asarray(padn(rows)), jnp.asarray(padn(corner)),
             jnp.asarray(padn(scale, 1)), jnp.asarray(padn(up, 1)),
             jnp.asarray(padn(X)), jnp.asarray(padn(targets)),
-            jnp.asarray(padn(tw)))
+            jnp.asarray(padn(tw))), np.float64)        # one fetch
+        k = len(camera.params)
+        q, t, c = packed[:4], packed[4:7], packed[7:7 + k]
+        c0, c1 = packed[7 + k], packed[8 + k]
         if cam_mask.any():
-            camera.params = np.asarray(c, np.float64)
-        return dict(qvec=np.asarray(q, np.float64),
-                    tvec=np.asarray(t, np.float64),
-                    camera_params=np.asarray(c, np.float64),
+            camera.params = c.copy()
+        return dict(qvec=q, tvec=t, camera_params=c,
                     initial_cost=float(c0), final_cost=float(c1))
 
     def _cam_mask(self, camera: Camera) -> np.ndarray:
@@ -849,20 +853,18 @@ class QueryBundleAdjuster:
                 return jax.device_put(np.asarray(a), _rp)
         else:
             _q = _r = jnp.asarray
-        q, t, c, c0, c1 = run(
+        packed = np.asarray(run(
             _q(q0), _q(t0), _q(cams),
             _r(cam_mask), _r(patches_all),
             _q(rows_b), _q(corner_b), _q(scale_b),
             _q(up_b), _q(X_b), _q(tgt_b),
-            _q(tw_b))
-        q, t, c = np.asarray(q), np.asarray(t), np.asarray(c)
-        c0, c1 = np.asarray(c0), np.asarray(c1)
+            _q(tw_b)), np.float64)               # [Qp, 9+k], one fetch
+        q, t, c = packed[:, :4], packed[:, 4:7], packed[:, 7:7 + k]
+        c0, c1 = packed[:, 7 + k], packed[:, 8 + k]
         for j, (qi, it, _a) in enumerate(prepared):
             if cam_mask.any():
-                it["camera"].params = np.asarray(c[j], np.float64)
-            results[qi] = dict(qvec=np.asarray(q[j], np.float64),
-                               tvec=np.asarray(t[j], np.float64),
-                               camera_params=np.asarray(c[j], np.float64),
+                it["camera"].params = c[j].copy()
+            results[qi] = dict(qvec=q[j], tvec=t[j], camera_params=c[j],
                                initial_cost=float(c0[j]),
                                final_cost=float(c1[j]))
         return results
@@ -989,7 +991,12 @@ def _compiled_qka_pnp(interp_key, loss_key, lm_opts, model: str, H: int,
                               fmask)
         xy = kp[sel_idx].astype(jnp.float32)            # [n_pad, 2]
         bq, bt, binl, bcnt = pnp(X, xy, valid, params, samples, max_err)
-        return kp, summary, bq, bt, binl, bcnt
+        del summary  # per-level QKA summaries are unused by the caller —
+        # returning them costs device->host fetches (~10 ms each on tunnel
+        # backends); the pose scalars pack into ONE small vector
+        pose_vec = jnp.concatenate(
+            [bq, bt, jnp.stack([bcnt.astype(jnp.float32)])])
+        return kp, pose_vec, binl
 
     return run
 
@@ -1320,7 +1327,8 @@ class QueryLocalizer:
             pmask, fmask, sel, X_p, valid, params,
             samples.astype(np.int32), np.float32(max_error)))
         outs = run(*args)
-        kp_new, _summary, bq, bt, binl, bcnt = jax.device_get(outs)
+        kp_new, pose_vec, binl = jax.device_get(outs)
+        bq, bt, bcnt = pose_vec[:4], pose_vec[4:7], pose_vec[7]
         writeback(kp_new[:P], pnp_points2D)
         logger.info("Running PnP with %d correspondences (fused QKA).", n)
         if not _stage_accept(int(bcnt), n, 0.0):
