@@ -37,9 +37,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HI = jax.lax.Precision.HIGHEST
-
-
 def _dot_oh(a, oh):
     """Exact f32 ``a @ oh`` when ``oh`` is a one-hot matrix, in 3 MXU passes.
 
